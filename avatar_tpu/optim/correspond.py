@@ -1,0 +1,132 @@
+"""Part-constrained nearest-neighbor correspondence + occlusion culling.
+
+TPU rebuild of the reference's findNN (AvatarOptimizer.cpp:830-968, "invert"
+mode used in production: every *data* point matches the nearest *visible
+model* point with the same body-part label) and the backface occlusion cull
+(AvatarOptimizer.cpp:1349-1387).
+
+nanoflann kd-trees are replaced by a tiled brute-force masked top-1 distance
+search: the N x P squared-distance matrix is never materialized — the model
+axis is processed in chunks with a running (min, argmin) carried through a
+lax.scan, and the cross term d . x^T is an MXU matmul.  ~7e7 distance ops
+per frame is microseconds on a v5e; the kd-tree build alone cost the
+reference 3.3 ms.
+
+Instead of returning variable-length correspondence lists (dynamic shapes),
+we return *per-model-point sufficient statistics*:
+
+    cnt[p]  = number of data points matched to model point p
+    s[p]    = sum of matched data points            [P, 3]
+    q       = sum of |d_n|^2 over matched points    (scalar)
+
+which are all the optimizer needs to build exact Gauss-Newton normal
+equations and exact costs (see gauss_newton.py) with fully static shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_INF = jnp.float32(3.0e38)
+
+
+class CorrStats(NamedTuple):
+    cnt: jnp.ndarray      # [P] f32 match counts per model point
+    s: jnp.ndarray        # [P, 3] sum of matched data points
+    q: jnp.ndarray        # scalar: sum |d|^2 over matched data points
+    n_matched: jnp.ndarray  # scalar: number of matched data points
+    corr: jnp.ndarray     # [N] int32 model index per data point (-1 unmatched)
+
+
+def backface_visibility(cloud: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
+    """[P] bool: vertex belongs to at least one front-facing triangle.
+
+    Reference AvatarOptimizer.cpp:1349-1387: front-facing iff
+    ((p2 - p1) x (p1 - p3)).z > 1e-4.
+    """
+    p1 = cloud[faces[:, 0]]
+    p2 = cloud[faces[:, 1]]
+    p3 = cloud[faces[:, 2]]
+    a = p2 - p1
+    b = p1 - p3
+    cz = a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]
+    front = cz > 1e-4
+    vis = jnp.zeros(cloud.shape[0], jnp.bool_)
+    for k in range(3):
+        vis = vis.at[faces[:, k]].max(front)
+    return vis
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def find_nn_stats(data_pts: jnp.ndarray, data_part: jnp.ndarray,
+                  model_cloud: jnp.ndarray, model_part: jnp.ndarray,
+                  visible: jnp.ndarray, chunk: int = 512) -> CorrStats:
+    """Match every valid data point to its nearest visible same-part model
+    point; reduce to per-model-point sufficient statistics.
+
+    Args:
+      data_pts:  [N, 3] padded data cloud (padding rows arbitrary).
+      data_part: [N] int32 body part per data point; < 0 marks padding.
+      model_cloud: [P, 3] posed model vertices.
+      model_part:  [P] int32 body part per model vertex.
+      visible:     [P] bool visibility mask.
+      chunk: model-axis tile size (P is padded up to a multiple internally).
+    """
+    N = data_pts.shape[0]
+    P = model_cloud.shape[0]
+    dtype = data_pts.dtype
+
+    pad = (-P) % chunk
+    if pad:
+        model_cloud = jnp.concatenate(
+            [model_cloud, jnp.zeros((pad, 3), dtype)], axis=0)
+        model_part = jnp.concatenate(
+            [model_part, jnp.full((pad,), -2, model_part.dtype)], axis=0)
+        visible = jnp.concatenate(
+            [visible, jnp.zeros((pad,), jnp.bool_)], axis=0)
+    Pp = model_cloud.shape[0]
+    n_chunks = Pp // chunk
+
+    mc = model_cloud.reshape(n_chunks, chunk, 3)
+    mp = model_part.reshape(n_chunks, chunk)
+    mv = visible.reshape(n_chunks, chunk)
+    m_norm2 = jnp.sum(mc * mc, axis=-1)                     # [C, chunk]
+
+    d_norm2 = jnp.sum(data_pts * data_pts, axis=-1)          # [N]
+
+    def body(carry, chunk_in):
+        best_d, best_i = carry
+        xc, xp, xv, xn2, base = chunk_in
+        # [N, chunk] squared distances via the MXU cross term
+        cross = jax.lax.dot_general(
+            data_pts, xc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        d2 = d_norm2[:, None] - 2.0 * cross + xn2[None, :]
+        valid = (xp[None, :] == data_part[:, None]) & xv[None, :]
+        d2 = jnp.where(valid, d2, _INF)
+        cmin = jnp.min(d2, axis=1)
+        carg = jnp.argmin(d2, axis=1).astype(jnp.int32) + base
+        take = cmin < best_d
+        return (jnp.where(take, cmin, best_d),
+                jnp.where(take, carg, best_i)), None
+
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    init = (jnp.full((N,), _INF, jnp.float32), jnp.full((N,), -1, jnp.int32))
+    (best_d, best_i), _ = jax.lax.scan(
+        body, init, (mc, mp, mv, m_norm2, bases))
+
+    matched = (best_i >= 0) & (data_part >= 0)
+    corr = jnp.where(matched, best_i, -1)
+    wgt = matched.astype(dtype)
+
+    # sufficient statistics (scatter-adds into the model axis)
+    idx = jnp.where(matched, best_i, Pp)  # padding bucket
+    cnt = jnp.zeros(Pp + 1, dtype).at[idx].add(wgt)[:P]
+    s = jnp.zeros((Pp + 1, 3), dtype).at[idx].add(
+        data_pts * wgt[:, None])[:P]
+    q = jnp.sum(d_norm2 * wgt)
+    return CorrStats(cnt=cnt, s=s, q=q, n_matched=jnp.sum(wgt), corr=corr)

@@ -1,0 +1,352 @@
+"""Fused on-device ICP + Levenberg-Marquardt avatar fit.
+
+This module replaces the reference's Ceres BFGS solve (AvatarOptimizer.cpp:
+1246-1517: per ICP iteration, build a Ceres problem over ~85 parameters with
+analytic Jacobians and run <=10 line-search iterations, ~35 ms on CPU) with a
+single jitted program per fit:
+
+  LBS forward -> backface visibility -> tiled NN correspondence ->
+  analytic Jacobian assembly -> normal equations on the MXU ->
+  damped LM inner loop with exact cost re-evaluation.
+
+Parameterization.  The optimization tangent is
+    delta = [ dp (3) | dr_0..dr_{J-1} (3 each, *global-frame* so(3)) | dw (K) ]
+with retraction  rot_j <- C_j^T exp(dr_j^) C_j rot_j  where C_j is the global
+rotation of j's parent frozen at the linearization point.  This is an
+orthonormal reparameterization of the reference's local-frame quaternion
+tangent (FakeQuaternionParameterization, AvatarOptimizer.cpp:110-153), chosen
+because it collapses the per-point rotation Jacobian to a single
+cross-product matrix:
+
+    d resid_p / d dr_j = -skew( a_pj - b_pj * t_j )
+
+(a_pj = weighted posed contribution of joint j's subtree to point p, b_pj the
+corresponding weight mass, t_j the posed joint position) instead of the
+reference's quaternion pseudo-Jacobian chain (AvatarOptimizer.cpp:546-565);
+Gauss-Newton steps are identical under orthonormal tangent changes.
+
+Normal equations via sufficient statistics.  Correspondences (every data
+point -> nearest visible same-part model point) are reduced to per-model-
+point statistics cnt_p (robust-weight mass) and s_p (weighted data sums), so
+
+    J^T J = sum_p cnt_p J_p^T J_p      (one [P,3,D] x [P,3,D] contraction)
+    J^T r = sum_p J_p^T (cnt_p x_p - s_p)
+
+never touch the data axis.  The *cost* used for LM accept/reject is NOT
+computed from these statistics: the expansion sum cnt|x|^2 - 2 x.s + q
+catastrophically cancels in float32 (magnitudes ~1e3 vs true costs ~1e-4),
+so costs gather actual residuals x[corr] - d per data point instead.
+
+Residual terms (reference weights and scaling preserved):
+  * point-to-point ICP (AvatarICPCostFunctor, AvatarOptimizer.cpp:609-644),
+    optionally robustified by Huber IRLS weights (improvement over the
+    reference's unweighted least squares) and mixed with a point-to-plane
+    term (plane_weight > 0) that converges much faster under large motion;
+  * GMM pose prior on non-root joints, scaled by
+    betaPose * sqrt(n_matched) / 15 (AvatarOptimizer.cpp:1453-1458,647-696),
+    with the exact d(axis-angle)/d(tangent) = J_l^{-1}(theta) C^T chain where
+    the reference approximates identity;
+  * L2 shape prior scaled by betaShape * sqrt(n_matched) / 15
+    (AvatarOptimizer.cpp:700-726).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from avatar_tpu.core import rotation
+from avatar_tpu.core.lbs import LBSParams, fk, shape_fwd
+from avatar_tpu.optim import correspond
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+class PriorData(NamedTuple):
+    """GMM pose prior tensors (from GaussianMixture)."""
+    means: jnp.ndarray       # [C, D69]
+    prec_cho: jnp.ndarray    # [C, D69, D69] lower
+    consts_log: jnp.ndarray  # [C]
+
+
+class FitContext(NamedTuple):
+    """Per-model tensors consumed by the fit program (a frozen pytree)."""
+    lbs: LBSParams
+    anc_mask: jnp.ndarray    # [J, J] anc[j, k] = 1 iff j ancestor-or-self of k
+    faces: jnp.ndarray       # [F, 3] int32
+    model_part: jnp.ndarray  # [P] int32 body part per model vertex
+    prior: PriorData
+
+
+class Theta(NamedTuple):
+    p: jnp.ndarray      # [3]
+    rots: jnp.ndarray   # [J, 3, 3] local joint rotations
+    w: jnp.ndarray      # [K]
+
+
+class FitDiag(NamedTuple):
+    cost: jnp.ndarray        # final cost
+    n_matched: jnp.ndarray   # matches in last ICP iteration
+    inner_iters: jnp.ndarray  # LM steps accepted (last ICP iteration)
+
+
+def _forward(ctx: FitContext, parents, theta: Theta, use_jsr: bool):
+    """LBS forward with all intermediates the Jacobians need."""
+    shaped, j_init = shape_fwd(ctx.lbs, theta.w, use_jsr)
+    Rg, tg = fk(parents, theta.rots, theta.p, j_init)
+    J = len(parents)
+    A = jnp.einsum("pj,jk->pk", ctx.lbs.weights, Rg.reshape(J, 9),
+                   precision=_HI).reshape(-1, 3, 3)
+    t_eff = tg - jnp.einsum("jab,jb->ja", Rg, j_init, precision=_HI)
+    b = jnp.einsum("pj,jc->pc", ctx.lbs.weights, t_eff, precision=_HI)
+    x = jnp.einsum("pab,pb->pa", A, shaped, precision=_HI) + b
+    return x, shaped, j_init, Rg, tg, A
+
+
+def _vertex_normals(x: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
+    fn = jnp.cross(x[faces[:, 1]] - x[faces[:, 0]],
+                   x[faces[:, 2]] - x[faces[:, 0]])
+    vn = jnp.zeros_like(x)
+    for k in range(3):
+        vn = vn.at[faces[:, k]].add(fn)
+    return vn / jnp.linalg.norm(vn, axis=-1, keepdims=True).clip(1e-12)
+
+
+def _icp_jacobian(ctx: FitContext, parents, theta: Theta, fwd):
+    """Analytic d(posed point)/d(delta) for every model point: [P, 3, D]."""
+    x, shaped, j_init, Rg, tg, A = fwd
+    W = ctx.lbs.weights
+    P = W.shape[0]
+    J = len(parents)
+    K = ctx.lbs.shapedirs.shape[2]
+    dtype = x.dtype
+
+    # --- rotation blocks: -skew(a_pj - b_pj t_j) ---------------------------
+    Rs = jnp.einsum("kab,pb->pka", Rg, shaped, precision=_HI)     # [P,J,3]
+    t_eff = tg - jnp.einsum("jab,jb->ja", Rg, j_init, precision=_HI)
+    c = W[:, :, None] * (Rs + t_eff[None, :, :])                  # [P,J,3]
+    a = jnp.einsum("jk,pkc->pjc", ctx.anc_mask, c, precision=_HI)  # [P,J,3]
+    b = jnp.einsum("pk,jk->pj", W, ctx.anc_mask, precision=_HI)    # [P,J]
+    g = a - b[:, :, None] * tg[None, :, :]                        # [P,J,3]
+    Jrot = -rotation.skew(g)                # [P,J,3(resid),3(tangent)]
+    Jrot = jnp.moveaxis(Jrot, 1, 2).reshape(P, 3, 3 * J)
+
+    # --- shape block: A_p D_p - W (Rg_k S_k - H_k) -------------------------
+    S = ctx.lbs.joint_shape_reg                                   # [J,3,K]
+    Sp = [jnp.zeros((3, K), dtype)]
+    for j in range(1, J):
+        Sp.append(S[j] - S[parents[j]])
+    H = [jnp.zeros((3, K), dtype)] * J
+    for j in range(1, J):
+        H[j] = Rg[parents[j]] @ Sp[j] + H[parents[j]]
+    H = jnp.stack(H)                                              # [J,3,K]
+    M = jnp.einsum("jab,jbk->jak", Rg, S, precision=_HI) - H      # [J,3,K]
+    Jshape = jnp.einsum("pab,pbk->pak", A, ctx.lbs.shapedirs,
+                        precision=_HI) - jnp.einsum(
+        "pj,jak->pak", W, M, precision=_HI)                       # [P,3,K]
+
+    Jpos = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (P, 3, 3))
+    return jnp.concatenate([Jpos, Jrot, Jshape], axis=2)          # [P,3,D]
+
+
+def _prior_terms(ctx: FitContext, parents, theta: Theta, Rg, beta_pose,
+                 beta_shape):
+    """Pose + shape prior J^T J, J^T r contributions (D x D, D)."""
+    J = len(parents)
+    K = theta.w.shape[0]
+    dtype = theta.w.dtype
+    aa = rotation.so3_log(theta.rots[1:])                         # [J-1,3]
+    flat = aa.reshape(-1)
+    diff = flat[None, :] - ctx.prior.means                        # [C, 69]
+    wh = jnp.einsum("cdk,cd->ck", ctx.prior.prec_cho, diff) * jnp.sqrt(
+        jnp.asarray(0.5, dtype))
+    energies = jnp.sum(wh * wh, axis=-1) - ctx.prior.consts_log
+    comp = jnp.argmin(energies)
+    r_head = wh[comp] * beta_pose                                 # [69]
+    L = ctx.prior.prec_cho[comp]                                  # [69, 69]
+
+    # d(aa_i)/d(dr_i) = J_l^{-1}(aa_i) C_i^T,  C_i = Rg[parent(i)]
+    Jl = rotation.so3_left_jacobian_inv(aa)                       # [J-1,3,3]
+    C = Rg[jnp.asarray([parents[i] for i in range(1, J)])]        # [J-1,3,3]
+    chain = jnp.einsum("iab,icb->iac", Jl, C)                     # Jl @ C^T
+    Lt_blocks = jnp.transpose(
+        L.reshape(J - 1, 3, 3 * (J - 1)), (0, 2, 1))              # [J-1,69,3]
+    Jblocks = jnp.einsum("iqa,iab->iqb", Lt_blocks, chain) * (
+        jnp.sqrt(jnp.asarray(0.5, dtype)) * beta_pose)            # [J-1,69,3]
+
+    D = 3 + 3 * J + K
+    JtJ = jnp.zeros((D, D), dtype)
+    Jtr = jnp.zeros((D,), dtype)
+    G = jnp.einsum("iqb,jqc->ibjc", Jblocks, Jblocks,
+                   precision=_HI).reshape(3 * (J - 1), 3 * (J - 1))
+    JtJ = JtJ.at[6:3 + 3 * J, 6:3 + 3 * J].add(G)
+    gr = jnp.einsum("iqb,q->ib", Jblocks, r_head).reshape(-1)
+    Jtr = Jtr.at[6:3 + 3 * J].add(gr)
+
+    # shape prior: resid = beta_shape * w
+    JtJ = JtJ.at[3 + 3 * J:, 3 + 3 * J:].add(
+        jnp.eye(K, dtype=dtype) * beta_shape ** 2)
+    Jtr = Jtr.at[3 + 3 * J:].add(beta_shape ** 2 * theta.w)
+    return JtJ, Jtr
+
+
+def _prior_cost(ctx: FitContext, theta: Theta, beta_pose, beta_shape):
+    aa = rotation.so3_log(theta.rots[1:]).reshape(-1)
+    diff = aa[None, :] - ctx.prior.means
+    wh = jnp.einsum("cdk,cd->ck", ctx.prior.prec_cho, diff) * jnp.sqrt(
+        jnp.asarray(0.5, aa.dtype))
+    energies = jnp.sum(wh * wh, axis=-1) - ctx.prior.consts_log
+    comp = jnp.argmin(energies)
+    c = jnp.sum(wh[comp] ** 2) - ctx.prior.consts_log[comp]
+    return 0.5 * (beta_pose ** 2 * c + beta_shape ** 2 * jnp.sum(theta.w ** 2))
+
+
+def _retract(theta: Theta, delta: jnp.ndarray, Rg, parents) -> Theta:
+    """theta (+) delta with parent frames C frozen at the linearization."""
+    J = len(parents)
+    dp = delta[:3]
+    dr = delta[3:3 + 3 * J].reshape(J, 3)
+    dw = delta[3 + 3 * J:]
+    E = rotation.so3_exp(dr)                                      # [J,3,3]
+    parent_idx = [parents[j] if parents[j] >= 0 else 0 for j in range(J)]
+    C = Rg[jnp.asarray(parent_idx)]
+    C = C.at[0].set(jnp.eye(3, dtype=theta.rots.dtype))           # root: C = I
+    new_rots = jnp.einsum("jba,jbc,jcd,jde->jae", C, E, C, theta.rots,
+                          precision=_HI)                          # C^T E C R
+    return Theta(p=theta.p + dp, rots=new_rots, w=theta.w + dw)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("parents", "use_jsr", "n_steps", "enable_occlusion",
+                     "chunk", "robust"))
+def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
+        data_part: jnp.ndarray, theta0: Theta, beta_pose: jnp.ndarray,
+        beta_shape: jnp.ndarray, n_steps: int,
+        use_jsr: bool = True, enable_occlusion: bool = True,
+        chunk: int = 512, robust: bool = True,
+        plane_weight: jnp.ndarray | float = 0.0,
+        point_weight: jnp.ndarray | float = 1.0,
+        function_tolerance: float = 1e-4) -> Tuple[Theta, FitDiag]:
+    """Full avatar fit (the reference's AvatarOptimizer::optimize) as one
+    jitted program.
+
+    Scheduling: the reference amortized its expensive kd-tree rebuilds over
+    <=10 Ceres iterations per ICP round.  On TPU the correspondence search
+    is essentially free next to the solve, so every LM step re-matches —
+    this converges strictly better per unit work than solving stale
+    correspondence sets tightly (over-solving wrong matches drags the pose
+    into their local minimum).  ``n_steps`` therefore plays the role of the
+    reference's icp_iters x maxItersPerICP budget.  A relative
+    function-tolerance of 1e-4 stops early (reference
+    AvatarOptimizer.cpp:1333) when two consecutive accepted re-matched steps
+    are both tiny.
+
+    data_pts [N,3] / data_part [N] are padded; padding marked by
+    data_part < 0.
+    """
+    dtype = data_pts.dtype
+    P = ctx.lbs.weights.shape[0]
+    w_pt = jnp.asarray(point_weight, dtype)
+    w_pl = jnp.asarray(plane_weight, dtype)
+
+    def step(state):
+        theta, lam, it, accepted, small_cnt, _, _ = state
+        fwd = _forward(ctx, parents, theta, use_jsr)
+        x = fwd[0]
+        Rg = fwd[3]
+        if enable_occlusion:
+            vis = correspond.backface_visibility(x, ctx.faces)
+        else:
+            vis = jnp.ones(P, jnp.bool_)
+        st = correspond.find_nn_stats(
+            data_pts, data_part, x, ctx.model_part, vis, chunk=chunk)
+        valid = st.corr >= 0
+        cidx = jnp.maximum(st.corr, 0)
+
+        # robust (Huber) IRLS weights from current NN distances
+        if robust:
+            r0 = x[cidx] - data_pts
+            dist = jnp.sqrt(jnp.sum(r0 * r0, -1) + 1e-12)
+            big = jnp.where(valid, dist, jnp.nan)
+            med = jnp.nan_to_num(jnp.nanmedian(big), nan=0.01)
+            delta_h = jnp.maximum(1.5 * med, 1e-3)
+            wgt = jnp.where(valid, jnp.minimum(1.0, delta_h / dist), 0.0)
+        else:
+            wgt = valid.astype(dtype)
+
+        # weighted sufficient statistics
+        idx = jnp.where(valid, cidx, P)
+        cnt = jnp.zeros(P + 1, dtype).at[idx].add(wgt)[:-1]
+        s = jnp.zeros((P + 1, 3), dtype).at[idx].add(
+            data_pts * wgt[:, None])[:-1]
+
+        # frozen surface normals for the optional point-to-plane term
+        vn = _vertex_normals(x, ctx.faces)
+
+        n_matched = jnp.sum(valid.astype(dtype))
+        scale = jnp.sqrt(jnp.maximum(n_matched, 1.0)) / 15.0
+        bp = beta_pose * scale
+        bs = beta_shape * scale
+
+        def total_cost(th, xf):
+            rr = xf[cidx] - data_pts
+            c_pt = 0.5 * jnp.sum(wgt * jnp.sum(rr * rr, -1))
+            c_pl = 0.5 * jnp.sum(wgt * jnp.sum(vn[cidx] * rr, -1) ** 2)
+            return (w_pt ** 2 * c_pt + w_pl ** 2 * c_pl +
+                    _prior_cost(ctx, th, bp, bs))
+
+        cost = total_cost(theta, x)
+        Jm = _icp_jacobian(ctx, parents, theta, fwd)              # [P,3,D]
+        rhs = cnt[:, None] * x - s                                # [P,3]
+        JtJ = w_pt ** 2 * jnp.einsum("p,pci,pcj->ij", cnt, Jm, Jm,
+                                     precision=_HI)
+        Jtr = w_pt ** 2 * jnp.einsum("pci,pc->i", Jm, rhs, precision=_HI)
+        Jpl = jnp.einsum("pc,pci->pi", vn, Jm, precision=_HI)     # [P,D]
+        JtJ = JtJ + w_pl ** 2 * jnp.einsum(
+            "p,pi,pj->ij", cnt, Jpl, Jpl, precision=_HI)
+        Jtr = Jtr + w_pl ** 2 * jnp.einsum(
+            "pi,p->i", Jpl, jnp.sum(vn * rhs, -1), precision=_HI)
+        pJtJ, pJtr = _prior_terms(ctx, parents, theta, Rg, bp, bs)
+        JtJ = JtJ + pJtJ
+        Jtr = Jtr + pJtr
+        # Marquardt damping with a diagonal floor: dimensions the data does
+        # not constrain (e.g. shape keys of occluded parts) have ~zero
+        # curvature AND ~zero gradient; pure diag-scaling leaves them
+        # undamped and the solve free-wheels arbitrarily large steps there.
+        d = jnp.diagonal(JtJ)
+        d = jnp.maximum(d, 1e-3 * jnp.max(d))
+        M = JtJ + lam * jnp.diag(d) + 1e-8 * jnp.eye(
+            JtJ.shape[0], dtype=dtype)
+        cho = jax.scipy.linalg.cho_factor(M)
+        delta = -jax.scipy.linalg.cho_solve(cho, Jtr)
+        trial = _retract(theta, delta, Rg, parents)
+        trial_x = _forward(ctx, parents, trial, use_jsr)[0]
+        trial_cost = total_cost(trial, trial_x)
+
+        accept = trial_cost < cost
+        th_new = jax.tree.map(
+            lambda a_, b_: jnp.where(accept, a_, b_), trial, theta)
+        lam_new = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-7),
+                            jnp.minimum(lam * 6.0, 1e6))
+        rel = jnp.abs(cost - trial_cost) / jnp.maximum(cost, 1e-12)
+        small = accept & (rel < function_tolerance)
+        small_cnt_new = jnp.where(small, small_cnt + 1, 0)
+        return (th_new, lam_new, it + 1,
+                accepted + accept.astype(jnp.int32), small_cnt_new,
+                jnp.where(accept, trial_cost, cost), n_matched)
+
+    def cond(state):
+        _, _, it, _, small_cnt, _, _ = state
+        return (it < n_steps) & (small_cnt < 2)
+
+    init = (theta0, jnp.asarray(1e-2, dtype), jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+            jnp.asarray(jnp.inf, dtype), jnp.asarray(0.0, dtype))
+    theta, lam, it, accepted, _, cost, n_matched = jax.lax.while_loop(
+        cond, step, init)
+    return theta, FitDiag(cost=cost, n_matched=n_matched,
+                          inner_iters=accepted)

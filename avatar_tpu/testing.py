@@ -117,8 +117,11 @@ def synthetic_arrays(detail: int = 1, n_keys: int = 10, seed: int = 7) -> dict:
                 v01 = base + ri * n_seg + (si + 1) % n_seg
                 v10 = base + (ri + 1) * n_seg + si
                 v11 = base + (ri + 1) * n_seg + (si + 1) % n_seg
-                faces.append([v00, v10, v01])
-                faces.append([v01, v10, v11])
+                # winding chosen so face normals point outward (SMPL
+                # convention; the optimizer's backface cull and the
+                # renderer's Lambert visibility both assume it)
+                faces.append([v00, v01, v10])
+                faces.append([v01, v11, v10])
 
     verts = np.asarray(verts)
     weights = np.asarray(weights)

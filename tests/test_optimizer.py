@@ -1,0 +1,233 @@
+"""Optimizer tests.
+
+Follows the reference's two verification mechanisms (SURVEY.md section 4):
+  * analytic-Jacobian-vs-autodiff comparison (TEST_COMPARE_AUTO_DIFF,
+    AvatarOptimizer.cpp:36-37,1069-1210) — here against jax.jacfwd;
+  * synthetic ground-truth round-trip (optim.cpp:18-156) — perturb a posed
+    avatar and fit it back to its own cloud.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from avatar_tpu.core import rotation
+from avatar_tpu.core.model import Avatar
+from avatar_tpu.optim import correspond
+from avatar_tpu.optim.gauss_newton import (FitContext, PriorData, Theta,
+                                           _forward, _icp_jacobian,
+                                           _prior_terms, _retract, fit)
+from avatar_tpu.optim.optimizer import AvatarOptimizer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    from avatar_tpu.testing import synthetic_model
+
+    model = synthetic_model(detail=1)
+    ctx = FitContext(
+        lbs=model.params,
+        anc_mask=jnp.asarray(model.ancestor_mask, jnp.float32),
+        faces=jnp.asarray(model.faces, jnp.int32),
+        model_part=jnp.asarray(model.main_joint, jnp.int32),
+        prior=PriorData(model.pose_prior.means, model.pose_prior.prec_cho,
+                        model.pose_prior.consts_log),
+    )
+    rng = np.random.default_rng(31)
+    aa = rng.normal(0, 0.4, (24, 3))
+    theta = Theta(
+        p=jnp.asarray(rng.normal(0, 0.5, 3) + [0, 0, 2.5], jnp.float32),
+        rots=jnp.asarray(rotation.so3_exp(jnp.asarray(aa, jnp.float32))),
+        w=jnp.asarray(rng.normal(0, 0.5, 10), jnp.float32),
+    )
+    return model, ctx, theta
+
+
+def test_icp_jacobian_matches_autodiff(setup):
+    """The analytic [P,3,D] Jacobian must equal jax.jacfwd of the posed cloud
+    through the retraction at delta = 0."""
+    model, ctx, theta = setup
+    parents = model.parents
+    fwd = _forward(ctx, parents, theta, True)
+    Rg = fwd[3]
+    J_analytic = np.asarray(_icp_jacobian(ctx, parents, theta, fwd))
+
+    def posed(delta):
+        th = _retract(theta, delta, Rg, parents)
+        return _forward(ctx, parents, th, True)[0]
+
+    D = J_analytic.shape[2]
+    J_ad = np.asarray(jax.jacfwd(posed)(jnp.zeros(D, jnp.float32)))
+    err = np.abs(J_analytic - J_ad).max()
+    scale = np.abs(J_ad).max()
+    assert err < 2e-5 * max(scale, 1.0), f"jacobian mismatch {err} (scale {scale})"
+
+
+def test_prior_jacobian_matches_autodiff(setup):
+    model, ctx, theta = setup
+    parents = model.parents
+    fwd = _forward(ctx, parents, theta, True)
+    Rg = fwd[3]
+    bp = jnp.asarray(0.7, jnp.float32)
+    bs = jnp.asarray(0.3, jnp.float32)
+    JtJ, Jtr = _prior_terms(ctx, parents, theta, Rg, bp, bs)
+    JtJ, Jtr = np.asarray(JtJ), np.asarray(Jtr)
+
+    # fixed component (locally constant argmin)
+    aa0 = rotation.so3_log(theta.rots[1:]).reshape(-1)
+    diff0 = aa0[None] - ctx.prior.means
+    wh0 = jnp.einsum("cdk,cd->ck", ctx.prior.prec_cho, diff0)
+    comp = int(jnp.argmin(0.5 * jnp.sum(wh0 * wh0, -1) - ctx.prior.consts_log))
+    L = ctx.prior.prec_cho[comp]
+
+    def resid(delta):
+        th = _retract(theta, delta, Rg, parents)
+        aa = rotation.so3_log(th.rots[1:]).reshape(-1)
+        head = (L.T @ (aa - ctx.prior.means[comp])) * jnp.sqrt(0.5) * bp
+        shape_r = bs * th.w
+        return jnp.concatenate([head, shape_r])
+
+    D = Jtr.shape[0]
+    J_ad = np.asarray(jax.jacfwd(resid)(jnp.zeros(D, jnp.float32)))
+    r0 = np.asarray(resid(jnp.zeros(D, jnp.float32)))
+    JtJ_ad = J_ad.T @ J_ad
+    Jtr_ad = J_ad.T @ r0
+    scale = np.abs(JtJ_ad).max()
+    assert np.abs(JtJ - JtJ_ad).max() < 5e-4 * max(scale, 1.0)
+    assert np.abs(Jtr - Jtr_ad).max() < 5e-4 * max(np.abs(Jtr_ad).max(), 1.0)
+
+
+def test_backface_visibility():
+    # front-facing: ((p2-p1) x (p1-p3)).z > 0  — construct both orientations
+    cloud = jnp.asarray([
+        [0.0, 0.0, 2.0], [1.0, 0.0, 2.0], [0.0, 1.0, 2.0],   # tri A
+        [0.0, 0.0, 3.0], [1.0, 0.0, 3.0], [0.0, 1.0, 3.0],   # tri B
+    ])
+    faces = jnp.asarray([[0, 1, 2], [3, 5, 4]], jnp.int32)
+    vis = np.asarray(correspond.backface_visibility(cloud, faces))
+    a = vis[:3]
+    b = vis[3:]
+    # exactly one orientation is front-facing
+    assert a.all() != b.all()
+    assert a.all() or b.all()
+
+
+def test_find_nn_stats_vs_bruteforce(rng):
+    P, N = 200, 97
+    model_cloud = rng.normal(size=(P, 3)).astype(np.float32)
+    model_part = rng.integers(0, 5, P).astype(np.int32)
+    visible = rng.random(P) < 0.7
+    data = rng.normal(size=(128, 3)).astype(np.float32)
+    data_part = np.full(128, -1, np.int32)
+    data_part[:N] = rng.integers(0, 5, N)
+
+    stats = correspond.find_nn_stats(
+        jnp.asarray(data), jnp.asarray(data_part), jnp.asarray(model_cloud),
+        jnp.asarray(model_part), jnp.asarray(visible), chunk=64)
+
+    # brute force oracle
+    cnt = np.zeros(P)
+    s = np.zeros((P, 3))
+    q = 0.0
+    corr = np.full(128, -1)
+    for n in range(N):
+        mask = (model_part == data_part[n]) & visible
+        if not mask.any():
+            continue
+        d2 = ((model_cloud - data[n]) ** 2).sum(1)
+        d2[~mask] = np.inf
+        j = int(np.argmin(d2))
+        corr[n] = j
+        cnt[j] += 1
+        s[j] += data[n]
+        q += (data[n] ** 2).sum()
+    np.testing.assert_array_equal(np.asarray(stats.corr), corr)
+    np.testing.assert_allclose(np.asarray(stats.cnt), cnt, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(stats.s), s, atol=1e-4)
+    np.testing.assert_allclose(float(stats.q), q, rtol=1e-5)
+    assert int(stats.n_matched) == int(cnt.sum())
+
+
+def test_fit_roundtrip(setup):
+    """optim.cpp-style ground-truth round trip: perturb a posed avatar in the
+    frame-to-frame tracking regime and fit it back to its own (subsampled)
+    cloud.  Point-to-point ICP has genuine local minima under the synthetic
+    tube mesh's near-coincident vertices (measured basin boundary ~2 mm), so
+    the assertion is on strong error reduction, not exact recovery."""
+    model, ctx, _ = setup
+    rng = np.random.default_rng(77)
+
+    gt = Avatar(model)
+    gt.randomize(seed=501)
+    gt.p = np.array([0.1, -0.2, 2.6])
+    gt.update()
+
+    # data = subsampled GT cloud with per-vertex part labels
+    stride = 2
+    data = gt.cloud[::stride]
+    labels = model.main_joint[::stride]
+
+    ava = Avatar(model)
+    ava.p = gt.p + rng.normal(0, 0.03, 3)
+    ava.w = np.zeros(model.num_shape_keys())
+    pert = rng.normal(0, 0.08, (24, 3))
+    ava.r = np.einsum(
+        "jab,jbc->jac",
+        np.asarray(rotation.so3_exp(jnp.asarray(pert, jnp.float32))), gt.r)
+    ava.update()
+    pre_rmse = np.sqrt(((ava.cloud - gt.cloud) ** 2).sum(1).mean())
+
+    opt = AvatarOptimizer(ava)
+    opt.beta_pose = 0.02
+    opt.beta_shape = 0.05
+    opt.enable_occlusion = False  # data covers the full surface here
+    opt.plane_weight = 1.0
+    opt.point_weight = 0.3
+    info = opt.optimize(data, labels, icp_iters=20)
+
+    post_rmse = np.sqrt(((ava.cloud - gt.cloud) ** 2).sum(1).mean())
+    assert post_rmse < pre_rmse * 0.15, (
+        f"fit did not converge: {pre_rmse * 1e3:.2f} mm -> "
+        f"{post_rmse * 1e3:.2f} mm (info {info})")
+    assert post_rmse < 0.012, f"post RMSE {post_rmse * 1e3:.2f} mm"
+
+
+def test_fit_near_convergence_is_exact(setup):
+    """Inside the ground-truth basin the LM fit must recover the pose to
+    far below 1 mm (the machinery-accuracy claim behind the <1 mm RMSE
+    target)."""
+    model, ctx, _ = setup
+    gt = Avatar(model)
+    gt.randomize(seed=501)
+    gt.p = np.array([0.1, -0.2, 2.6])
+    gt.update()
+    data = gt.cloud[::2]
+    labels = model.main_joint[::2]
+
+    ava = Avatar(model)
+    ava.p = gt.p + np.array([0.001, -0.0005, 0.001])
+    ava.w = gt.w.copy()
+    ava.r = gt.r.copy()
+    ava.update()
+
+    opt = AvatarOptimizer(ava)
+    opt.beta_pose = 1e-6
+    opt.beta_shape = 1e-6
+    opt.enable_occlusion = False
+    opt.optimize(data, labels, icp_iters=4)
+    post_rmse = np.sqrt(((ava.cloud - gt.cloud) ** 2).sum(1).mean())
+    assert post_rmse < 1e-4, f"near-GT fit RMSE {post_rmse * 1e3:.4f} mm"
+
+
+def test_optimizer_accepts_colmajor(setup):
+    model, _, _ = setup
+    ava = Avatar(model)
+    ava.p = np.array([0.0, 0.0, 2.5])
+    ava.update()
+    data = ava.cloud[::4].T  # reference-style [3, N]
+    labels = model.main_joint[::4]
+    opt = AvatarOptimizer(ava)
+    opt.enable_occlusion = False
+    info = opt.optimize(data, labels, icp_iters=1)
+    assert info["n_matched"] > 0
