@@ -1,0 +1,193 @@
+"""End-to-end tracking driver: the demo / live-demo frame loop.
+
+Rebuild of the reference pipeline (demo.cpp:153-334, live-demo.cpp:264-530):
+
+    XYZ frame -> background subtraction -> foreground depth -> random-forest
+    part segmentation (stride 2) -> blob postprocess (CoM tracking) ->
+    stride-sampled labeled point cloud -> reinit state machine ->
+    AvatarOptimizer fit -> (optional) Lambert overlay.
+
+The tracking-loss / reinitialization state machine is preserved exactly
+(live-demo.cpp:250-422): reinit recenters the avatar at the cloud centroid,
+zeroes the shape, faces the camera (root rotation = pi about +y) and runs
+more ICP iterations; tracking is declared lost when the foreground pixel
+count falls below min_points / interval^2.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import numpy as np
+
+from avatar_tpu.core.model import Avatar, AvatarModel
+from avatar_tpu.optim.optimizer import AvatarOptimizer
+from avatar_tpu.perception.bgsub import BGSubtractor
+from avatar_tpu.utils import StageTimer
+
+
+@dataclasses.dataclass
+class TrackerConfig:
+    """Tuned operating point of the reference demos
+    (demo.cpp:44-73, live-demo.cpp:60-120)."""
+    beta_pose: float = 0.05
+    beta_shape: float = 0.12
+    data_interval: int = 12       # stride for optimization samples
+    rtree_interval: int = 2       # stride for forest inference
+    frame_icp_iters: int = 3
+    reinit_icp_iters: int = 6
+    initial_icp_iters: int = 7    # live-demo first init
+    iters_per_icp: int = 10
+    min_points: int = 1000        # reinitCnz
+    dist_to_pre_weight: float = 0.001
+    nn_dist_thresh_rel: float = 0.005
+    neighb_thresh_rel: float = 0.005
+    enable_occlusion: bool = True
+    point_weight: float = 1.0
+    plane_weight: float = 0.0
+    robust: bool = True
+
+
+@dataclasses.dataclass
+class TrackResult:
+    ok: bool
+    reinitialized: bool = False
+    n_points: int = 0
+    part_mask: Optional[np.ndarray] = None
+    fit_info: Optional[dict] = None
+
+
+class Tracker:
+    def __init__(self, model: AvatarModel, intrin, image_size,
+                 rtree=None, config: Optional[TrackerConfig] = None):
+        self.model = model
+        self.intrin = intrin
+        self.image_size = tuple(image_size)  # (H, W)
+        self.rtree = rtree
+        self.config = config or TrackerConfig()
+        self.ava = Avatar(model)
+
+        num_parts = rtree.num_parts if rtree is not None else model.num_joints()
+        part_map = rtree.part_map if rtree is not None else None
+        self.optimizer = AvatarOptimizer(
+            self.ava, intrin, image_size, num_parts, part_map)
+        c = self.config
+        self.optimizer.beta_pose = c.beta_pose
+        self.optimizer.beta_shape = c.beta_shape
+        self.optimizer.max_iters_per_icp = c.iters_per_icp
+        self.optimizer.enable_occlusion = c.enable_occlusion
+        self.optimizer.point_weight = c.point_weight
+        self.optimizer.plane_weight = c.plane_weight
+        self.optimizer.robust = c.robust
+
+        self.bgsub: Optional[BGSubtractor] = None
+        self.com_pre = np.full((2, num_parts), -1.0)
+        self.com_pre[1, :] = 0.0
+        self.reinit = True
+        self.first_init = True
+        self.timer = StageTimer()
+
+    def set_background(self, background_xyz: np.ndarray) -> None:
+        self.bgsub = BGSubtractor(np.asarray(background_xyz, np.float32))
+        self.bgsub.nn_dist_thresh_rel = self.config.nn_dist_thresh_rel
+        self.bgsub.neighb_thresh_rel = self.config.neighb_thresh_rel
+
+    def track(self, xyz_map: np.ndarray,
+              labels_override: Optional[np.ndarray] = None) -> TrackResult:
+        """Process one frame.
+
+        xyz_map: [H, W, 3] camera-space XYZ (z == 0 invalid).
+        labels_override: optional precomputed [H, W] uint8 part labels
+          (255 = background) replacing forest inference — used by synthetic
+          benchmarks and the `--rtree-only`-style tooling.
+        """
+        c = self.config
+        H, W = xyz_map.shape[:2]
+        depth = np.ascontiguousarray(xyz_map[..., 2]).copy()
+
+        # --- background subtraction (demo.cpp:179-193) ---------------------
+        with self.timer.stage("bg_subtraction"):
+            if self.bgsub is not None:
+                sub = self.bgsub.run(xyz_map)
+                depth[sub >= 254] = 0.0
+                tl, br = self.bgsub.top_left, self.bgsub.bot_right
+            else:
+                tl, br = (0, 0), (W - 1, H - 1)
+
+        # --- part segmentation (demo.cpp:195-204) --------------------------
+        with self.timer.stage("segmentation"):
+            if labels_override is not None:
+                part_mask = np.where(depth > 0, labels_override,
+                                     np.uint8(255))
+            elif self.rtree is not None:
+                part_mask = self.rtree.predict_best(
+                    depth, interval=c.rtree_interval, top_left=tl,
+                    bot_right=br)
+                part_mask = self.rtree.post_process(
+                    part_mask, self.com_pre, interval=c.rtree_interval,
+                    top_left=tl, bot_right=br,
+                    dist_to_pre_weight=c.dist_to_pre_weight)
+            else:
+                raise ValueError("need an rtree or labels_override")
+
+        # --- gather labeled cloud at stride (demo.cpp:215-250) -------------
+        with self.timer.stage("gather"):
+            iv = c.data_interval
+            ys = np.arange(tl[1], br[1] + 1, iv)
+            xs = np.arange(tl[0], br[0] + 1, iv)
+            if len(ys) == 0 or len(xs) == 0:
+                self.reinit = True
+                return TrackResult(ok=False)
+            sub_mask = part_mask[np.ix_(ys, xs)]
+            sub_xyz = xyz_map[np.ix_(ys, xs)]
+            fg = (sub_mask != 255) & (sub_xyz[..., 2] > 0)
+            n_points = int(fg.sum())
+            if n_points < c.min_points / (iv * iv):
+                self.reinit = True
+                return TrackResult(ok=False, n_points=n_points,
+                                   part_mask=part_mask)
+            pts = sub_xyz[fg]
+            pts = np.stack([pts[:, 0], -pts[:, 1], pts[:, 2]], 1)
+            labels = sub_mask[fg].astype(np.int32)
+
+        # --- reinit state machine (demo.cpp:251-266) ------------------------
+        reinitialized = False
+        icp_iters = c.frame_icp_iters
+        if self.reinit:
+            centroid = pts.mean(axis=0)
+            self.ava.p = centroid
+            self.ava.w[:] = 0.0
+            self.ava.r = np.tile(np.eye(3), (self.model.num_joints(), 1, 1))
+            self.ava.r[0] = np.array([
+                [-1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, -1.0]])
+            self.ava.update()
+            icp_iters = (c.initial_icp_iters if self.first_init
+                         else c.reinit_icp_iters)
+            self.reinit = False
+            self.first_init = False
+            reinitialized = True
+
+        # --- fit (demo.cpp:267-268) ----------------------------------------
+        with self.timer.stage("optimize"):
+            info = self.optimizer.optimize(pts, labels, icp_iters=icp_iters)
+
+        return TrackResult(ok=True, reinitialized=reinitialized,
+                           n_points=n_points, part_mask=part_mask,
+                           fit_info=info)
+
+    def render_overlay(self, rgb: Optional[np.ndarray] = None) -> np.ndarray:
+        """Lambert-shaded avatar blended over RGB (demo.cpp:275-307)."""
+        from avatar_tpu.render.renderer import AvatarRenderer
+
+        rend = AvatarRenderer(self.ava, self.intrin)
+        lam = rend.render_lambert(self.image_size)
+        if rgb is None:
+            return lam
+        out = rgb.copy()
+        m = lam > 0
+        blend = (rgb[m].astype(np.int32) // 5 * 2 +
+                 np.stack([lam[m]] * 3, -1).astype(np.int32) // 5 * 3)
+        out[m] = blend.astype(np.uint8)
+        return out
