@@ -89,10 +89,14 @@ def fk(parents: Tuple[int, ...], rots: jnp.ndarray, p: jnp.ndarray,
     tg = [None] * J
     Rg[0] = rots[0]
     tg[0] = p
+    mm = functools.partial(jnp.matmul, precision=_HI)
     for i in range(1, J):
         par = parents[i]
-        Rg[i] = Rg[par] @ rots[i]
-        tg[i] = Rg[par] @ (j_init[i] - j_init[par]) + tg[par]
+        # chained 3x3 matmuls MUST run at full f32 precision: at the TPU's
+        # default bf16 the 24-level chain accumulates ~1.6% orthogonality
+        # error, which breaks the optimizer's retraction frames
+        Rg[i] = mm(Rg[par], rots[i])
+        tg[i] = mm(Rg[par], (j_init[i] - j_init[par])[:, None])[:, 0] + tg[par]
     return jnp.stack(Rg), jnp.stack(tg)
 
 

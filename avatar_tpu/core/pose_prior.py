@@ -108,7 +108,8 @@ class GaussianMixture:
         sqrt(0.5)-scaled residual).
         """
         diff = x[..., None, :] - self.means                      # [..., C, D]
-        wh = jnp.einsum("cdk,...cd->...ck", self.prec_cho, diff)  # L^T diff
+        wh = jnp.einsum("cdk,...cd->...ck", self.prec_cho, diff,
+                        precision=jax.lax.Precision.HIGHEST)
         return 0.5 * jnp.sum(wh * wh, axis=-1) - self.consts_log
 
     def pdf(self, x):
@@ -117,7 +118,8 @@ class GaussianMixture:
         GaussianMixture.cpp:84-93.
         """
         diff = x[..., None, :] - self.means
-        wh = jnp.einsum("cdk,...cd->...ck", self.prec_cho, diff)
+        wh = jnp.einsum("cdk,...cd->...ck", self.prec_cho, diff,
+                        precision=jax.lax.Precision.HIGHEST)
         quad = jnp.sum(wh * wh, axis=-1)
         return jnp.sum(self.consts * jnp.exp(-0.5 * quad), axis=-1)
 
@@ -127,7 +129,8 @@ class GaussianMixture:
         GaussianMixture.cpp:95-114.
         """
         diff = x[..., None, :] - self.means
-        wh = jnp.einsum("cdk,...cd->...ck", self.prec_cho, diff) * jnp.sqrt(
+        wh = jnp.einsum("cdk,...cd->...ck", self.prec_cho, diff,
+                        precision=jax.lax.Precision.HIGHEST) * jnp.sqrt(
             jnp.asarray(0.5, x.dtype))
         energies = jnp.sum(wh * wh, axis=-1) - self.consts_log
         comp = jnp.argmin(energies, axis=-1)

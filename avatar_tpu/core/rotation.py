@@ -15,9 +15,11 @@ Reference semantics notes (for parity with sxyu/avatar):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _EPS = 1e-12
+_HI = jax.lax.Precision.HIGHEST
 
 
 def skew(v):
@@ -42,7 +44,7 @@ def so3_exp(v):
     theta2 = jnp.sum(v * v, axis=-1, keepdims=True)[..., None]  # [...,1,1]
     theta = jnp.sqrt(theta2 + _EPS)
     K = skew(v)
-    K2 = K @ K
+    K2 = jnp.matmul(K, K, precision=_HI)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=v.dtype), K.shape)
     # sin(t)/t and (1-cos(t))/t^2 with small-angle Taylor fallback
     use_taylor = theta2 < 1e-8
@@ -183,7 +185,7 @@ def so3_left_jacobian_inv(v):
     theta2 = jnp.sum(v * v, axis=-1)[..., None, None]
     theta = jnp.sqrt(theta2 + _EPS)
     K = skew(v)
-    K2 = K @ K
+    K2 = jnp.matmul(K, K, precision=_HI)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=v.dtype), K.shape)
     use_taylor = theta2 < 1e-8
     # coefficient c = 1/t^2 - (1 + cos t)/(2 t sin t); Taylor: 1/12 + t^2/720

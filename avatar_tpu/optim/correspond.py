@@ -37,7 +37,7 @@ _INF = jnp.float32(3.0e38)
 class CorrStats(NamedTuple):
     cnt: jnp.ndarray      # [P] f32 match counts per model point
     s: jnp.ndarray        # [P, 3] sum of matched data points
-    q: jnp.ndarray        # scalar: sum |d|^2 over matched data points
+    q: jnp.ndarray        # scalar: sum |d - centroid|^2 over matches
     n_matched: jnp.ndarray  # scalar: number of matched data points
     corr: jnp.ndarray     # [N] int32 model index per data point (-1 unmatched)
 
@@ -80,6 +80,15 @@ def find_nn_stats(data_pts: jnp.ndarray, data_part: jnp.ndarray,
     P = model_cloud.shape[0]
     dtype = data_pts.dtype
 
+    # Recenter both clouds before the distance computation: squared norms at
+    # ~2.6 m from the camera are ~7 m^2, and on TPU the matmul cross term
+    # would otherwise need full f32 passes to keep millimeter-scale argmins
+    # honest.  Recentering drops magnitudes ~35x; combined with HIGHEST
+    # precision the argmin noise is far below sensor noise.
+    center = jnp.mean(model_cloud, axis=0)
+    data_pts_c = data_pts - center
+    model_cloud = model_cloud - center
+
     pad = (-P) % chunk
     if pad:
         model_cloud = jnp.concatenate(
@@ -96,15 +105,16 @@ def find_nn_stats(data_pts: jnp.ndarray, data_part: jnp.ndarray,
     mv = visible.reshape(n_chunks, chunk)
     m_norm2 = jnp.sum(mc * mc, axis=-1)                     # [C, chunk]
 
-    d_norm2 = jnp.sum(data_pts * data_pts, axis=-1)          # [N]
+    d_norm2 = jnp.sum(data_pts_c * data_pts_c, axis=-1)      # [N]
 
     def body(carry, chunk_in):
         best_d, best_i = carry
         xc, xp, xv, xn2, base = chunk_in
         # [N, chunk] squared distances via the MXU cross term
         cross = jax.lax.dot_general(
-            data_pts, xc, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            data_pts_c, xc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         d2 = d_norm2[:, None] - 2.0 * cross + xn2[None, :]
         valid = (xp[None, :] == data_part[:, None]) & xv[None, :]
         d2 = jnp.where(valid, d2, _INF)

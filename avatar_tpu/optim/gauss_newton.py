@@ -141,7 +141,7 @@ def _icp_jacobian(ctx: FitContext, parents, theta: Theta, fwd):
         Sp.append(S[j] - S[parents[j]])
     H = [jnp.zeros((3, K), dtype)] * J
     for j in range(1, J):
-        H[j] = Rg[parents[j]] @ Sp[j] + H[parents[j]]
+        H[j] = jnp.matmul(Rg[parents[j]], Sp[j], precision=_HI) + H[parents[j]]
     H = jnp.stack(H)                                              # [J,3,K]
     M = jnp.einsum("jab,jbk->jak", Rg, S, precision=_HI) - H      # [J,3,K]
     Jshape = jnp.einsum("pab,pbk->pak", A, ctx.lbs.shapedirs,
@@ -161,8 +161,8 @@ def _prior_terms(ctx: FitContext, parents, theta: Theta, Rg, beta_pose,
     aa = rotation.so3_log(theta.rots[1:])                         # [J-1,3]
     flat = aa.reshape(-1)
     diff = flat[None, :] - ctx.prior.means                        # [C, 69]
-    wh = jnp.einsum("cdk,cd->ck", ctx.prior.prec_cho, diff) * jnp.sqrt(
-        jnp.asarray(0.5, dtype))
+    wh = jnp.einsum("cdk,cd->ck", ctx.prior.prec_cho, diff,
+                    precision=_HI) * jnp.sqrt(jnp.asarray(0.5, dtype))
     energies = jnp.sum(wh * wh, axis=-1) - ctx.prior.consts_log
     comp = jnp.argmin(energies)
     r_head = wh[comp] * beta_pose                                 # [69]
@@ -196,8 +196,8 @@ def _prior_terms(ctx: FitContext, parents, theta: Theta, Rg, beta_pose,
 def _prior_cost(ctx: FitContext, theta: Theta, beta_pose, beta_shape):
     aa = rotation.so3_log(theta.rots[1:]).reshape(-1)
     diff = aa[None, :] - ctx.prior.means
-    wh = jnp.einsum("cdk,cd->ck", ctx.prior.prec_cho, diff) * jnp.sqrt(
-        jnp.asarray(0.5, aa.dtype))
+    wh = jnp.einsum("cdk,cd->ck", ctx.prior.prec_cho, diff,
+                    precision=_HI) * jnp.sqrt(jnp.asarray(0.5, aa.dtype))
     energies = jnp.sum(wh * wh, axis=-1) - ctx.prior.consts_log
     comp = jnp.argmin(energies)
     c = jnp.sum(wh[comp] ** 2) - ctx.prior.consts_log[comp]
@@ -253,8 +253,17 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
     w_pt = jnp.asarray(point_weight, dtype)
     w_pl = jnp.asarray(plane_weight, dtype)
 
+    # renormalize the incoming rotations (the reference's quaternion
+    # round-trip does this implicitly each optimize() call,
+    # AvatarOptimizer.cpp:1249-1254); prevents orthogonality drift across
+    # long tracked sequences
+    theta0 = Theta(
+        p=theta0.p,
+        rots=rotation.quat_to_mat(rotation.mat_to_quat(theta0.rots)),
+        w=theta0.w)
+
     def step(state):
-        theta, lam, it, accepted, small_cnt, _, _ = state
+        theta, lam, it, accepted, small_cnt, _, _, corr_prev = state
         fwd = _forward(ctx, parents, theta, use_jsr)
         x = fwd[0]
         Rg = fwd[3]
@@ -333,20 +342,25 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
         lam_new = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-7),
                             jnp.minimum(lam * 6.0, 1e6))
         rel = jnp.abs(cost - trial_cost) / jnp.maximum(cost, 1e-12)
-        small = accept & (rel < function_tolerance)
+        # converged only when the cost stagnates AND the correspondence
+        # assignment is stable — cost stagnation alone also occurs at stale
+        # local optima that the next re-matching step would escape
+        corr_stable = jnp.all(st.corr == corr_prev)
+        small = accept & (rel < function_tolerance) & corr_stable
         small_cnt_new = jnp.where(small, small_cnt + 1, 0)
         return (th_new, lam_new, it + 1,
                 accepted + accept.astype(jnp.int32), small_cnt_new,
-                jnp.where(accept, trial_cost, cost), n_matched)
+                jnp.where(accept, trial_cost, cost), n_matched, st.corr)
 
     def cond(state):
-        _, _, it, _, small_cnt, _, _ = state
+        _, _, it, _, small_cnt, _, _, _ = state
         return (it < n_steps) & (small_cnt < 2)
 
     init = (theta0, jnp.asarray(1e-2, dtype), jnp.asarray(0, jnp.int32),
             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-            jnp.asarray(jnp.inf, dtype), jnp.asarray(0.0, dtype))
-    theta, lam, it, accepted, _, cost, n_matched = jax.lax.while_loop(
+            jnp.asarray(jnp.inf, dtype), jnp.asarray(0.0, dtype),
+            jnp.full(data_pts.shape[0], -2, jnp.int32))
+    theta, lam, it, accepted, _, cost, n_matched, _ = jax.lax.while_loop(
         cond, step, init)
     return theta, FitDiag(cost=cost, n_matched=n_matched,
                           inner_iters=accepted)

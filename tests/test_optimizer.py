@@ -126,7 +126,8 @@ def test_find_nn_stats_vs_bruteforce(rng):
         jnp.asarray(data), jnp.asarray(data_part), jnp.asarray(model_cloud),
         jnp.asarray(model_part), jnp.asarray(visible), chunk=64)
 
-    # brute force oracle
+    # brute force oracle (q uses the kernel's recentered norms)
+    center = model_cloud.mean(0)
     cnt = np.zeros(P)
     s = np.zeros((P, 3))
     q = 0.0
@@ -141,7 +142,7 @@ def test_find_nn_stats_vs_bruteforce(rng):
         corr[n] = j
         cnt[j] += 1
         s[j] += data[n]
-        q += (data[n] ** 2).sum()
+        q += ((data[n] - center) ** 2).sum()
     np.testing.assert_array_equal(np.asarray(stats.corr), corr)
     np.testing.assert_allclose(np.asarray(stats.cnt), cnt, atol=1e-6)
     np.testing.assert_allclose(np.asarray(stats.s), s, atol=1e-4)
