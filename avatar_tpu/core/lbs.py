@@ -70,6 +70,28 @@ def shaped_dtype(params: LBSParams):
     return params.v_template.dtype
 
 
+@functools.lru_cache(maxsize=32)
+def _lifting_pointers(parents: Tuple[int, ...]) -> Tuple[Tuple[int, ...], ...]:
+    """Pointer-doubling tables for batched forward kinematics.
+
+    Invariant: after round k, joint j's accumulated affine covers the chain
+    segment [j, ptr_k[j]) and ptr_{k+1}[j] = ptr_k[ptr_k[j]].  Slot J is the
+    identity sentinel (covers nothing, points to itself); the root's pointer
+    starts at the sentinel since its own transform is already included.
+    Returns the per-round pointer arrays (static data), enough rounds to
+    cover the deepest chain.
+    """
+    J = len(parents)
+    ptr = [J] + [0] * (J - 1) + [J]   # ptr[0] = sentinel; ptr[J] = sentinel
+    for j in range(1, J):
+        ptr[j] = parents[j]
+    rounds = []
+    while any(ptr[j] != J for j in range(J)):
+        rounds.append(tuple(ptr[:J]))
+        ptr = [ptr[ptr[j]] if ptr[j] != J else J for j in range(J)] + [J]
+    return tuple(rounds)
+
+
 def fk(parents: Tuple[int, ...], rots: jnp.ndarray, p: jnp.ndarray,
        j_init: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Forward kinematics along the (static) kinematic tree.
@@ -81,23 +103,29 @@ def fk(parents: Tuple[int, ...], rots: jnp.ndarray, p: jnp.ndarray,
       j_init: [J, 3] rest joint positions (shape applied).
 
     Returns (Rg [J,3,3] global rotations, tg [J,3] posed joint positions).
-    Reference Avatar.cpp:43-64.  The loop is unrolled at trace time (J is
-    24); XLA fuses the 3x3 chains into one program.
+    Reference Avatar.cpp:43-64 composes 23 affines sequentially; on TPU that
+    lowers to 23 serialized tiny matmuls with per-op dispatch overhead
+    (~2.7 ms measured), so we compose by *pointer doubling* instead:
+    ceil(log2(max chain length)) = 4 batched [J+1,3,3] matmul rounds.
+    Everything stays at full f32 precision — bf16 chains accumulate ~1.6%
+    orthogonality error, which breaks the optimizer's retraction frames.
     """
     J = len(parents)
-    Rg = [None] * J
-    tg = [None] * J
-    Rg[0] = rots[0]
-    tg[0] = p
-    mm = functools.partial(jnp.matmul, precision=_HI)
-    for i in range(1, J):
-        par = parents[i]
-        # chained 3x3 matmuls MUST run at full f32 precision: at the TPU's
-        # default bf16 the 24-level chain accumulates ~1.6% orthogonality
-        # error, which breaks the optimizer's retraction frames
-        Rg[i] = mm(Rg[par], rots[i])
-        tg[i] = mm(Rg[par], (j_init[i] - j_init[par])[:, None])[:, 0] + tg[par]
-    return jnp.stack(Rg), jnp.stack(tg)
+    dtype = rots.dtype
+    # local affine per joint (root: rots[0], p — pelvis lands exactly at p)
+    t_local = j_init - j_init[jnp.asarray(
+        [parents[i] if parents[i] >= 0 else i for i in range(J)])]
+    t_local = t_local.at[0].set(p)
+    # append the identity sentinel slot
+    R = jnp.concatenate([rots, jnp.eye(3, dtype=dtype)[None]], axis=0)
+    t = jnp.concatenate([t_local, jnp.zeros((1, 3), dtype)], axis=0)
+    for ptr in _lifting_pointers(parents):
+        a = jnp.asarray(ptr + (J,), jnp.int32)   # sentinel keeps pointing J
+        Ra = R[a]
+        ta = t[a]
+        R = jnp.einsum("jab,jbc->jac", Ra, R, precision=_HI)
+        t = jnp.einsum("jab,jb->ja", Ra, t, precision=_HI) + ta
+    return R[:J], t[:J]
 
 
 @functools.partial(jax.jit, static_argnames=("parents", "use_jsr"))

@@ -26,12 +26,22 @@ equations and exact costs (see gauss_newton.py) with fully static shapes.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 _INF = jnp.float32(3.0e38)
+
+
+def _pallas_enabled() -> bool:
+    if os.environ.get("AVATAR_TPU_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
 
 
 class CorrStats(NamedTuple):
@@ -89,7 +99,9 @@ def find_nn_stats(data_pts: jnp.ndarray, data_part: jnp.ndarray,
     data_pts_c = data_pts - center
     model_cloud = model_cloud - center
 
-    pad = (-P) % chunk
+    use_pallas = _pallas_enabled() and N % 256 == 0
+    pad_to = 1024 if use_pallas else chunk
+    pad = (-P) % pad_to
     if pad:
         model_cloud = jnp.concatenate(
             [model_cloud, jnp.zeros((pad, 3), dtype)], axis=0)
@@ -100,34 +112,43 @@ def find_nn_stats(data_pts: jnp.ndarray, data_part: jnp.ndarray,
     Pp = model_cloud.shape[0]
     n_chunks = Pp // chunk
 
-    mc = model_cloud.reshape(n_chunks, chunk, 3)
-    mp = model_part.reshape(n_chunks, chunk)
-    mv = visible.reshape(n_chunks, chunk)
-    m_norm2 = jnp.sum(mc * mc, axis=-1)                     # [C, chunk]
+    if use_pallas and Pp % 1024 == 0:
+        # fused VMEM-resident kernel (see nn_pallas.py): HBM traffic drops
+        # from ~N*P*4B tiles to just the two clouds
+        from avatar_tpu.optim.nn_pallas import nn_argmin
 
-    d_norm2 = jnp.sum(data_pts_c * data_pts_c, axis=-1)      # [N]
+        best_d, best_i = nn_argmin(
+            data_pts_c, data_part, model_cloud, model_part, visible,
+            tile_n=256, chunk=1024)
+    else:
+        mc = model_cloud.reshape(n_chunks, chunk, 3)
+        mp = model_part.reshape(n_chunks, chunk)
+        mv = visible.reshape(n_chunks, chunk)
+        m_norm2 = jnp.sum(mc * mc, axis=-1)                 # [C, chunk]
+        d_norm2c = jnp.sum(data_pts_c * data_pts_c, axis=-1)  # [N]
 
-    def body(carry, chunk_in):
-        best_d, best_i = carry
-        xc, xp, xv, xn2, base = chunk_in
-        # [N, chunk] squared distances via the MXU cross term
-        cross = jax.lax.dot_general(
-            data_pts_c, xc, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-        d2 = d_norm2[:, None] - 2.0 * cross + xn2[None, :]
-        valid = (xp[None, :] == data_part[:, None]) & xv[None, :]
-        d2 = jnp.where(valid, d2, _INF)
-        cmin = jnp.min(d2, axis=1)
-        carg = jnp.argmin(d2, axis=1).astype(jnp.int32) + base
-        take = cmin < best_d
-        return (jnp.where(take, cmin, best_d),
-                jnp.where(take, carg, best_i)), None
+        def body(carry, chunk_in):
+            best_d, best_i = carry
+            xc, xp, xv, xn2, base = chunk_in
+            # [N, chunk] squared distances via the MXU cross term
+            cross = jax.lax.dot_general(
+                data_pts_c, xc, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            d2 = d_norm2c[:, None] - 2.0 * cross + xn2[None, :]
+            valid = (xp[None, :] == data_part[:, None]) & xv[None, :]
+            d2 = jnp.where(valid, d2, _INF)
+            cmin = jnp.min(d2, axis=1)
+            carg = jnp.argmin(d2, axis=1).astype(jnp.int32) + base
+            take = cmin < best_d
+            return (jnp.where(take, cmin, best_d),
+                    jnp.where(take, carg, best_i)), None
 
-    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    init = (jnp.full((N,), _INF, jnp.float32), jnp.full((N,), -1, jnp.int32))
-    (best_d, best_i), _ = jax.lax.scan(
-        body, init, (mc, mp, mv, m_norm2, bases))
+        bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+        init = (jnp.full((N,), _INF, jnp.float32),
+                jnp.full((N,), -1, jnp.int32))
+        (best_d, best_i), _ = jax.lax.scan(
+            body, init, (mc, mp, mv, m_norm2, bases))
 
     matched = (best_i >= 0) & (data_part >= 0)
     corr = jnp.where(matched, best_i, -1)
@@ -138,5 +159,5 @@ def find_nn_stats(data_pts: jnp.ndarray, data_part: jnp.ndarray,
     cnt = jnp.zeros(Pp + 1, dtype).at[idx].add(wgt)[:P]
     s = jnp.zeros((Pp + 1, 3), dtype).at[idx].add(
         data_pts * wgt[:, None])[:P]
-    q = jnp.sum(d_norm2 * wgt)
+    q = jnp.sum(jnp.sum(data_pts_c * data_pts_c, axis=-1) * wgt)
     return CorrStats(cnt=cnt, s=s, q=q, n_matched=jnp.sum(wgt), corr=corr)

@@ -311,14 +311,19 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
         cost = total_cost(theta, x)
         Jm = _icp_jacobian(ctx, parents, theta, fwd)              # [P,3,D]
         rhs = cnt[:, None] * x - s                                # [P,3]
-        JtJ = w_pt ** 2 * jnp.einsum("p,pci,pcj->ij", cnt, Jm, Jm,
+        D = Jm.shape[2]
+        # weighted gram as one [D, 3P] x [3P, D] MXU matmul (the
+        # 'p,pci,pcj->ij' einsum form lowers ~10x slower on TPU)
+        Jw = (Jm * jnp.sqrt(jnp.maximum(cnt, 0.0))[:, None, None]).reshape(
+            -1, D)
+        JtJ = w_pt ** 2 * jnp.matmul(Jw.T, Jw, precision=_HI)
+        Jtr = w_pt ** 2 * jnp.matmul(Jm.reshape(-1, D).T, rhs.reshape(-1),
                                      precision=_HI)
-        Jtr = w_pt ** 2 * jnp.einsum("pci,pc->i", Jm, rhs, precision=_HI)
         Jpl = jnp.einsum("pc,pci->pi", vn, Jm, precision=_HI)     # [P,D]
-        JtJ = JtJ + w_pl ** 2 * jnp.einsum(
-            "p,pi,pj->ij", cnt, Jpl, Jpl, precision=_HI)
-        Jtr = Jtr + w_pl ** 2 * jnp.einsum(
-            "pi,p->i", Jpl, jnp.sum(vn * rhs, -1), precision=_HI)
+        Jplw = Jpl * jnp.sqrt(jnp.maximum(cnt, 0.0))[:, None]
+        JtJ = JtJ + w_pl ** 2 * jnp.matmul(Jplw.T, Jplw, precision=_HI)
+        Jtr = Jtr + w_pl ** 2 * jnp.matmul(
+            Jpl.T, jnp.sum(vn * rhs, -1), precision=_HI)
         pJtJ, pJtr = _prior_terms(ctx, parents, theta, Rg, bp, bs)
         JtJ = JtJ + pJtJ
         Jtr = Jtr + pJtr

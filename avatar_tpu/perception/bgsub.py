@@ -70,9 +70,16 @@ def _components(image: jnp.ndarray, fg: jnp.ndarray, neighb_thresh):
 
 
 class BGSubtractor:
-    def __init__(self, background: np.ndarray):
-        """background: [H, W, 3] XYZ map of the empty scene."""
+    def __init__(self, background: np.ndarray, stride: int = 1):
+        """background: [H, W, 3] XYZ map of the empty scene.
+
+        stride > 1 runs both passes on a subsampled grid and repeats the
+        result back to full resolution — downstream consumers (forest at
+        stride 2, optimizer at stride 12) never read finer than that, and
+        the connected-component label propagation cost drops by stride^2.
+        """
         self.background = np.asarray(background, np.float32)
+        self.stride = stride
         self.nn_dist_thresh_rel = 0.005
         self.neighb_thresh_rel = 0.005
         self.num_threads = 1  # API parity; ignored
@@ -112,29 +119,33 @@ class BGSubtractor:
         If comps_by_size is a list, it is filled with [size, component_id]
         pairs sorted descending (reference BGSubtractor.cpp:152-154).
         """
-        H, W = image.shape[:2]
-        scale = 1200000.0 / (H * W)
+        Hf, Wf = image.shape[:2]
+        st = self.stride
+        image_s = image[::st, ::st] if st > 1 else image
+        bg_s = self.background[::st, ::st] if st > 1 else self.background
+        H, W = image_s.shape[:2]
+        # threshold scaling uses full-res dimensions (reference semantics)
+        scale = 1200000.0 / (Hf * Wf)
         nn_t = scale * self.nn_dist_thresh_rel
         nb_t = scale * self.neighb_thresh_rel
-        img = jnp.asarray(image, jnp.float32)
-        bg = jnp.asarray(self.background, jnp.float32)
+        img = jnp.asarray(image_s, jnp.float32)
+        bg = jnp.asarray(bg_s, jnp.float32)
         fg = _foreground_mask(bg, img, jnp.asarray(nn_t, jnp.float32))
         labels, sizes = _components(img, fg, jnp.asarray(nb_t, jnp.float32))
 
         labels = np.asarray(labels)
         sizes = np.asarray(sizes)
-        min_pts = max(H * W // 1000, 100)
+        min_pts = max(Hf * Wf // 1000, 100) // (st * st)
 
         roots = np.nonzero(sizes >= min_pts)[0]  # ascending = scan order
         roots = roots[:254]
-        mask = np.full((H, W), 255, np.uint8)
-        comp_of_root = {int(r): i for i, r in enumerate(roots)}
-        flat = labels.reshape(-1)
-        ok = np.isin(flat, roots)
         id_map = np.full(H * W + 1, 255, np.uint8)
-        for r, i in comp_of_root.items():
-            id_map[r] = i
+        id_map[roots] = np.arange(len(roots), dtype=np.uint8)
+        flat = labels.reshape(-1)
         mask = id_map[np.where(flat >= 0, flat, H * W)].reshape(H, W)
+
+        if st > 1:
+            mask = np.repeat(np.repeat(mask, st, 0), st, 1)[:Hf, :Wf]
 
         valid = mask != 255
         if valid.any():
@@ -142,13 +153,13 @@ class BGSubtractor:
             self.top_left = (int(xs.min()), int(ys.min()))
             self.bot_right = (int(xs.max()), int(ys.max()))
         else:
-            self.top_left = (W - 1, H - 1)
+            self.top_left = (Wf - 1, Hf - 1)
             self.bot_right = (0, 0)
 
         if comps_by_size is not None:
             comps_by_size.clear()
             pairs = sorted(
-                ([int(sizes[r]), comp_of_root[int(r)]] for r in roots),
-                reverse=True)
+                ([int(sizes[r]) * st * st, i]
+                 for i, r in enumerate(roots)), reverse=True)
             comps_by_size.extend(pairs)
         return mask

@@ -76,10 +76,11 @@ def connected_components(active: jnp.ndarray, edge_gate_fn=None,
         for (dy, dx), g in zip(gates, gate_masks):
             nb = _shift(label, dy, dx, big)
             new = jnp.where(g, jnp.minimum(new, nb), new)
-        # pointer jumping: labels index pixels, chase twice
+        # pointer doubling: labels index pixels; one rebuilt-table chase per
+        # sweep (random gathers cost ~1 ms each on TPU, so more chases per
+        # sweep lose — run CC on a coarse grid instead when speed matters)
         newf = new.reshape(-1)
         pad = jnp.concatenate([newf, jnp.asarray([big], jnp.int32)])
-        newf = jnp.minimum(newf, pad[jnp.minimum(newf, big)])
         newf = jnp.minimum(newf, pad[jnp.minimum(newf, big)])
         new = newf.reshape(H, W)
         changed = jnp.any(new != label)

@@ -44,6 +44,8 @@ class TrackerConfig:
     dist_to_pre_weight: float = 0.001
     nn_dist_thresh_rel: float = 0.005
     neighb_thresh_rel: float = 0.005
+    bgsub_stride: int = 2         # subtraction grid stride (downstream
+                                  # stages never read finer than stride 2)
     enable_occlusion: bool = True
     point_weight: float = 1.0
     plane_weight: float = 0.0
@@ -90,7 +92,8 @@ class Tracker:
         self.timer = StageTimer()
 
     def set_background(self, background_xyz: np.ndarray) -> None:
-        self.bgsub = BGSubtractor(np.asarray(background_xyz, np.float32))
+        self.bgsub = BGSubtractor(np.asarray(background_xyz, np.float32),
+                                  stride=self.config.bgsub_stride)
         self.bgsub.nn_dist_thresh_rel = self.config.nn_dist_thresh_rel
         self.bgsub.neighb_thresh_rel = self.config.neighb_thresh_rel
 

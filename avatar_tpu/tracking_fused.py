@@ -1,0 +1,351 @@
+"""Fully-fused on-device tracking: one jit-compiled program per frame.
+
+The host-orchestrated Tracker (tracking.py) mirrors the reference's stage
+structure but pays a host<->device round trip per stage.  This module fuses
+the entire frame into a single XLA program:
+
+    XYZ frame -> background-subtraction stencil + gated connected components
+    -> forest part segmentation (stride-2 grid) -> per-part blob suppression
+    with center-of-mass tracking -> stride-12 sample gather -> fused ICP/LM
+    fit
+
+so the only per-frame host traffic is the frame upload and the ~100-float
+parameter download.  All shapes are static: the data cloud is the full
+stride grid with background samples labeled -1 (the correspondence kernel
+masks them), so no dynamic gathers exist anywhere.
+
+The reinitialization state machine stays on the host (it is control flow on
+"tracking lost", which needs a host decision anyway); a lost frame costs one
+extra fused call after the host resets the pose.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avatar_tpu.core.model import Avatar, AvatarModel
+from avatar_tpu.optim.gauss_newton import FitContext, PriorData, Theta, fit
+from avatar_tpu.perception import cc
+from avatar_tpu.perception.rtree import TreeTensors, forest_walk, \
+    suppress_part_nonmax
+from avatar_tpu.utils import StageTimer
+
+
+class FrameOut(NamedTuple):
+    theta: Theta
+    com_pre: jnp.ndarray     # [2, num_parts]
+    n_points: jnp.ndarray    # matched stride samples (pre-fit foreground)
+    cost: jnp.ndarray
+    labels_strided: jnp.ndarray  # [Hs, Ws] uint8 (diagnostics / viz)
+
+
+def _bg_subtract(xyz_s, bg_s, nn_t, nb_t, min_pts, cc_sub: int = 4):
+    """Strided background subtraction -> foreground mask [Hs, Ws].
+
+    The per-pixel stencil test runs at full (strided) resolution; the
+    component min-size filter runs on a cc_sub-times coarser subgrid (random
+    gathers inside the label-propagation loop cost ~1 ms each on TPU, so CC
+    grid size dominates its cost).  min_pts is in coarse-grid pixels.
+    """
+    from avatar_tpu.perception.bgsub import _foreground_mask
+
+    fg = _foreground_mask(bg_s, xyz_s, nn_t)
+    if cc_sub <= 1:
+        fg_c = fg
+        xyz_c = xyz_s
+    else:
+        fg_c = fg[::cc_sub, ::cc_sub]
+        xyz_c = xyz_s[::cc_sub, ::cc_sub]
+
+    def gate(vals, shifted):
+        return jnp.sum((vals - shifted) ** 2, axis=-1) <= nb_t * cc_sub
+
+    labels = cc.connected_components(fg_c, values=xyz_c, edge_gate_fn=gate)
+    sizes = cc.component_sizes(labels)
+    flat = labels.reshape(-1)
+    keep_c = (flat >= 0) & (sizes[jnp.maximum(flat, 0)] >= min_pts)
+    keep_c = keep_c.reshape(fg_c.shape)
+    if cc_sub <= 1:
+        return keep_c & fg
+    keep = jnp.repeat(jnp.repeat(keep_c, cc_sub, 0), cc_sub, 1)
+    keep = keep[: fg.shape[0], : fg.shape[1]]
+    return keep & fg
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("parents", "seg_stride", "data_substride", "n_steps",
+                     "num_parts", "max_depth", "use_forest", "use_bgsub",
+                     "use_jsr", "pad_n"))
+def fused_frame(ctx: FitContext, tree: Optional[TreeTensors],
+                parents: Tuple[int, ...], depth: jnp.ndarray,
+                labels_full: jnp.ndarray, bg_depth: jnp.ndarray,
+                intrin4: jnp.ndarray, theta0: Theta, com_pre: jnp.ndarray,
+                beta_pose, beta_shape, nn_t, nb_t, min_cc_pts,
+                dist_to_pre_weight, seg_stride: int, data_substride: int,
+                n_steps: int, num_parts: int, max_depth: int,
+                use_forest: bool, use_bgsub: bool, use_jsr: bool,
+                pad_n: int) -> FrameOut:
+    """One tracked frame, fully on device.
+
+    depth [H, W] f32 meters (or uint16 millimeters — converted here), so the
+    per-frame host->device upload is minimal; the XYZ map is reconstructed
+    on device and only on the strided grid.  labels_full [H, W] uint8 oracle
+    labels (used when use_forest=False); bg_depth [H, W] background depth
+    (used when use_bgsub); intrin4 = [fx, fy, cx, cy].
+    data samples are taken every seg_stride * data_substride pixels.
+    """
+    H, W = depth.shape[:2]
+    if depth.dtype == jnp.uint16:
+        depth = depth.astype(jnp.float32) * 0.001
+    fx, fy, cx, cy = intrin4[0], intrin4[1], intrin4[2], intrin4[3]
+
+    def strided_xyz(d_full):
+        d_s = d_full[::seg_stride, ::seg_stride]
+        Hs, Ws = d_s.shape
+        xs = (jnp.arange(Ws, dtype=d_s.dtype) * seg_stride)[None, :]
+        ys = (jnp.arange(Hs, dtype=d_s.dtype) * seg_stride)[:, None]
+        return jnp.stack([(xs - cx) * d_s / fx, (ys - cy) * d_s / fy, d_s],
+                         axis=-1)
+
+    xyz_s = strided_xyz(depth)                          # [Hs, Ws, 3]
+    depth_s = xyz_s[..., 2]
+
+    if use_bgsub:
+        if bg_depth.dtype == jnp.uint16:
+            bg_depth = bg_depth.astype(jnp.float32) * 0.001
+        bg_s = strided_xyz(bg_depth)
+        fg = _bg_subtract(xyz_s, bg_s, nn_t, nb_t, min_cc_pts)
+        depth_s = jnp.where(fg, depth_s, 0.0)
+        xyz_s = jnp.where(fg[..., None], xyz_s, 0.0)
+    # segmentation on the strided grid
+    if use_forest:
+        tl = jnp.asarray([0, 0], jnp.int32)
+        br = jnp.asarray([xyz_s.shape[1] - 1, xyz_s.shape[0] - 1], jnp.int32)
+        # probes/thresholds were trained on full-res pixel units; the strided
+        # grid just changes the offsets' pixel scale
+        tree_scaled = tree._replace(u=tree.u / seg_stride,
+                                    v=tree.v / seg_stride)
+        leaf = forest_walk(tree_scaled, depth_s, max_depth, 1, tl, br)
+        labels_s = jnp.where(
+            leaf >= 0, tree.leaf_best[jnp.maximum(leaf, 0)], jnp.uint8(255))
+    else:
+        labels_s = labels_full[::seg_stride, ::seg_stride]
+        labels_s = jnp.where(depth_s > 0, labels_s, jnp.uint8(255))
+
+    # blob suppression + CoM tracking (contiguous part maps) on a 2x coarser
+    # subgrid (CC cost scales with grid size; part blobs are large)
+    blob_sub = 2
+    lab_c = labels_s[::blob_sub, ::blob_sub]
+    filt_c, com_new = suppress_part_nonmax(
+        lab_c, com_pre, num_parts, seg_stride * blob_sub, dist_to_pre_weight,
+        jnp.asarray([0, 0], jnp.int32))
+    filt_up = jnp.repeat(jnp.repeat(filt_c, blob_sub, 0), blob_sub, 1)[
+        : labels_s.shape[0], : labels_s.shape[1]]
+    labels_s = jnp.where(filt_up == labels_s, labels_s, jnp.uint8(255))
+
+    # stride-sampled data cloud: every data_substride-th strided sample
+    sub_xyz = xyz_s[::data_substride, ::data_substride]
+    sub_lab = labels_s[::data_substride, ::data_substride]
+    pts = sub_xyz.reshape(-1, 3)
+    pts = jnp.stack([pts[:, 0], -pts[:, 1], pts[:, 2]], axis=1)
+    parts = sub_lab.reshape(-1).astype(jnp.int32)
+    parts = jnp.where((sub_xyz[..., 2] > 0).reshape(-1), parts, -1)
+    parts = jnp.where(parts == 255, -1, parts)
+    n_points = jnp.sum((parts >= 0).astype(jnp.int32))
+
+    # pad to the static bucket
+    N = pts.shape[0]
+    if N < pad_n:
+        pts = jnp.concatenate([pts, jnp.zeros((pad_n - N, 3), pts.dtype)])
+        parts = jnp.concatenate(
+            [parts, jnp.full((pad_n - N,), -1, jnp.int32)])
+
+    theta, diag = fit(ctx, parents, pts, parts, theta0, beta_pose,
+                      beta_shape, n_steps=n_steps, use_jsr=use_jsr)
+    return FrameOut(theta=theta, com_pre=com_new, n_points=n_points,
+                    cost=diag.cost, labels_strided=labels_s)
+
+
+class FusedTracker:
+    """Drop-in high-performance tracker (same semantics as tracking.Tracker
+    with contiguous part maps; forest or oracle labels)."""
+
+    def __init__(self, model: AvatarModel, intrin, image_size, rtree=None,
+                 config=None):
+        from avatar_tpu.tracking import TrackerConfig
+
+        self.model = model
+        self.intrin = intrin
+        self.image_size = tuple(image_size)
+        self.config = config or TrackerConfig()
+        self.rtree = rtree
+        self.ava = Avatar(model)
+        self.timer = StageTimer()
+
+        num_parts = rtree.num_parts if rtree is not None else model.num_joints()
+        self.num_parts = num_parts
+        part_map = (np.asarray(rtree.part_map, np.int32)
+                    if rtree is not None and len(rtree.part_map)
+                    else np.arange(model.num_joints(), dtype=np.int32))
+        model_part = part_map[model.main_joint]
+        if model.pose_prior is None:
+            raise ValueError("FusedTracker requires a model pose prior")
+        self._ctx = FitContext(
+            lbs=model.params,
+            anc_mask=jnp.asarray(model.ancestor_mask, model.dtype),
+            faces=jnp.asarray(model.faces, jnp.int32),
+            model_part=jnp.asarray(model_part, jnp.int32),
+            prior=PriorData(model.pose_prior.means,
+                            model.pose_prior.prec_cho,
+                            model.pose_prior.consts_log),
+        )
+        self._tree = rtree._tree if rtree is not None else None
+        self._max_depth = rtree._max_depth if rtree is not None else 0
+        self._bg = jnp.zeros((image_size[0], image_size[1]), model.dtype)
+        self._use_bgsub = False
+        self._intrin4 = jnp.asarray(
+            [intrin.fx, intrin.fy, intrin.cx, intrin.cy], model.dtype)
+        self.com_pre = jnp.asarray(
+            np.concatenate([np.full((1, num_parts), -1.0),
+                            np.zeros((1, num_parts))]), model.dtype)
+        self.reinit = True
+        self.first_init = True
+        self._theta = Theta(
+            p=jnp.zeros(3, model.dtype),
+            rots=jnp.asarray(np.tile(np.eye(3), (model.num_joints(), 1, 1)),
+                             model.dtype),
+            w=jnp.zeros(model.num_shape_keys(), model.dtype))
+
+        c = self.config
+        H, W = self.image_size
+        ss = c.rtree_interval
+        dsub = max(c.data_interval // ss, 1)
+        self._seg_stride = ss
+        self._data_substride = dsub
+        Hs = (H + ss - 1) // ss
+        Ws = (W + ss - 1) // ss
+        n_data = ((Hs + dsub - 1) // dsub) * ((Ws + dsub - 1) // dsub)
+        pad = 1024
+        while pad < n_data:
+            pad *= 2
+        self._pad_n = pad
+
+    def set_background(self, background_xyz: np.ndarray) -> None:
+        """Accepts an XYZ map [H, W, 3] or a depth map [H, W]."""
+        bg = np.asarray(background_xyz)
+        if bg.ndim == 3:
+            bg = bg[..., 2]
+        self._bg = jnp.asarray(bg, self.model.dtype)
+        self._use_bgsub = True
+
+    def _run(self, xyz, labels, n_steps):
+        c = self.config
+        H, W = self.image_size
+        scale = 1200000.0 / (H * W)
+        st = self._seg_stride
+        min_cc = max(H * W // 1000, 100) // (st * st * 16)  # cc_sub=4 grid
+        return fused_frame(
+            self._ctx, self._tree, self.model.parents, xyz, labels, self._bg,
+            self._intrin4, self._theta, self.com_pre,
+            jnp.asarray(c.beta_pose, self.model.dtype),
+            jnp.asarray(c.beta_shape, self.model.dtype),
+            jnp.asarray(scale * c.nn_dist_thresh_rel, self.model.dtype),
+            jnp.asarray(scale * c.neighb_thresh_rel, self.model.dtype),
+            jnp.asarray(min_cc, jnp.int32),
+            jnp.asarray(c.dist_to_pre_weight, self.model.dtype),
+            seg_stride=st, data_substride=self._data_substride,
+            n_steps=n_steps, num_parts=self.num_parts,
+            max_depth=self._max_depth,
+            use_forest=self.rtree is not None,
+            use_bgsub=self._use_bgsub,
+            use_jsr=self.model.use_joint_shape_regressor,
+            pad_n=self._pad_n)
+
+    def track(self, frame, labels_override: Optional[np.ndarray] = None):
+        """Track one frame.  ``frame`` is an XYZ map [H, W, 3], a float
+        depth map [H, W] in meters, or a uint16 depth map in millimeters
+        (cheapest to upload).  Returns a tracking.TrackResult-compatible
+        object."""
+        from avatar_tpu.tracking import TrackResult
+
+        c = self.config
+        H, W = self.image_size
+        frame = np.asarray(frame)
+        depth_np = frame[..., 2] if frame.ndim == 3 else frame
+        if depth_np.dtype == np.uint16:
+            xyz = jnp.asarray(depth_np)
+        else:
+            xyz = jnp.asarray(depth_np, self.model.dtype)
+        if labels_override is None:
+            labels = jnp.zeros((H, W), jnp.uint8)
+        else:
+            labels = jnp.asarray(labels_override, jnp.uint8)
+
+        n_steps = c.frame_icp_iters * c.iters_per_icp
+        with self.timer.stage("frame"):
+            out = self._run(xyz, labels, n_steps)
+            try:
+                out.n_points.copy_to_host_async()
+            except AttributeError:  # older jax arrays
+                pass
+            n_points = int(out.n_points)
+
+        min_needed = c.min_points / (c.data_interval ** 2)
+        reinitialized = False
+        if n_points < min_needed:
+            self.reinit = True
+            return TrackResult(ok=False, n_points=n_points)
+
+        if self.reinit:
+            # host-side reinit: recenter at the (approximate) cloud centroid
+            with self.timer.stage("reinit"):
+                d_sub = depth_np[::c.data_interval, ::c.data_interval]
+                d_sub = (d_sub.astype(np.float32) * 1e-3
+                         if d_sub.dtype == np.uint16 else d_sub)
+                ys = np.arange(0, H, c.data_interval)[:, None]
+                xs = np.arange(0, W, c.data_interval)[None, :]
+                i = self.intrin
+                sub = np.stack([(xs - i.cx) * d_sub / i.fx,
+                                (ys - i.cy) * d_sub / i.fy, d_sub], -1)
+                fg = sub[..., 2] > 0
+                if labels_override is not None:
+                    lab = np.asarray(
+                        labels_override[::c.data_interval, ::c.data_interval])
+                    fg &= lab != 255
+                centroid = (sub[fg] * np.array([1, -1, 1])).mean(axis=0) \
+                    if fg.any() else np.array([0.0, 0.0, 2.5])
+                J = self.model.num_joints()
+                rots = np.tile(np.eye(3), (J, 1, 1))
+                rots[0] = np.diag([-1.0, 1.0, -1.0])
+                self._theta = Theta(
+                    p=jnp.asarray(centroid, self.model.dtype),
+                    rots=jnp.asarray(rots, self.model.dtype),
+                    w=jnp.zeros(self.model.num_shape_keys(),
+                                self.model.dtype))
+                steps = (c.initial_icp_iters if self.first_init
+                         else c.reinit_icp_iters) * c.iters_per_icp
+                out = self._run(xyz, labels, steps)
+            self.reinit = False
+            self.first_init = False
+            reinitialized = True
+
+        self._theta = out.theta
+        self.com_pre = out.com_pre
+        return TrackResult(ok=True, reinitialized=reinitialized,
+                           n_points=n_points,
+                           fit_info=dict(cost=float(out.cost)))
+
+    def sync_avatar(self) -> Avatar:
+        """Materialize the device-side pose into self.ava (host)."""
+        self.ava.p = np.asarray(self._theta.p, np.float64)
+        self.ava.r = np.asarray(self._theta.rots, np.float64)
+        self.ava.w = np.asarray(self._theta.w, np.float64)
+        self.ava.update()
+        return self.ava

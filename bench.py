@@ -52,6 +52,7 @@ def main():
     from avatar_tpu.render.renderer import AvatarRenderer
     from avatar_tpu.testing import synthetic_model
     from avatar_tpu.tracking import Tracker, TrackerConfig
+    from avatar_tpu.tracking_fused import FusedTracker
 
     if args.quick:
         H, W = 256, 256
@@ -82,11 +83,9 @@ def main():
     rng = np.random.default_rng(8)
     drift = rng.normal(0, 0.015, (24, 3))
 
-    # wall background for the subtractor
-    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
-    bg = np.stack([(xx - intrin.cx) * 4.0 / intrin.fx,
-                   (yy - intrin.cy) * 4.0 / intrin.fy,
-                   np.full((H, W), 4.0, np.float32)], -1)
+    # wall background for the subtractor (depth only; the fused tracker
+    # reconstructs XYZ on device)
+    bg_depth = np.full((H, W), 4.0, np.float32)
 
     print(f"[bench] rendering {n_frames} GT frames at {W}x{H} "
           f"({model.num_points()} verts)...", file=sys.stderr)
@@ -97,11 +96,9 @@ def main():
         rend = AvatarRenderer(gt, intrin)
         depth = rend.render_depth((H, W))
         mask = rend.render_part_mask((H, W))
-        xyz = np.asarray(intrin.depth_to_xyz_np(depth))
-        scene = bg.copy()
-        fgm = depth > 0
-        scene[fgm] = xyz[fgm]
-        frames.append((scene, mask))
+        scene_d = np.where(depth > 0, depth, bg_depth)
+        # uint16 millimeter depth: the cheapest camera-native upload format
+        frames.append(((scene_d * 1000).astype(np.uint16), mask))
         gts.append(gt.joint_pos.copy())
         step = np.asarray(rotation.so3_exp(jnp.asarray(drift, jnp.float32)))
         gt.r = np.einsum("jab,jbc->jac", step, gt.r)
@@ -136,9 +133,9 @@ def main():
 
     cfg = TrackerConfig(data_interval=data_interval, min_points=min_points,
                         frame_icp_iters=3, reinit_icp_iters=6,
-                        initial_icp_iters=7)
-    tracker = Tracker(model, intrin, (H, W), rtree=forest, config=cfg)
-    tracker.set_background(bg)
+                        initial_icp_iters=7, iters_per_icp=4)
+    tracker = FusedTracker(model, intrin, (H, W), rtree=forest, config=cfg)
+    tracker.set_background(bg_depth)
 
     # warmup (compile)
     for i in range(min(2, n_frames)):
@@ -156,8 +153,9 @@ def main():
                             labels_override=None if use_forest else mask)
         frame_times.append(time.perf_counter() - t0)
         if res.ok:
+            ava = tracker.sync_avatar()
             errs.append(np.linalg.norm(
-                tracker.ava.joint_pos - gts[i], axis=1).mean())
+                ava.joint_pos - gts[i], axis=1).mean())
     wall = time.perf_counter() - t_all0
 
     frame_ms = np.asarray(frame_times[1:]) * 1e3  # drop reinit frame
@@ -171,10 +169,7 @@ def main():
         "value": round(float(fps), 2),
         "unit": "fps",
         "vs_baseline": round(float(fps) / 15.0, 2),
-        "fit_ms": round(stages.get("optimize", 0.0), 3),
-        "segmentation_ms": round(stages.get("segmentation", 0.0), 3),
-        "bgsub_ms": round(stages.get("bg_subtraction", 0.0), 3),
-        "gather_ms": round(stages.get("gather", 0.0), 3),
+        "fused_frame_ms": round(stages.get("frame", 0.0), 3),
         "frame_ms": round(float(frame_ms.mean()), 3) if len(frame_ms) else 0,
         "joint_err_mm": round(joint_err_mm, 2),
         "frames": n_frames,

@@ -1,0 +1,104 @@
+"""Fused single-program tracker: parity with the host-orchestrated Tracker."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from avatar_tpu.core import rotation
+from avatar_tpu.core.model import Avatar
+from avatar_tpu.io.calibration import CameraIntrin
+from avatar_tpu.render.renderer import AvatarRenderer
+from avatar_tpu.testing import synthetic_model
+from avatar_tpu.tracking import TrackerConfig
+from avatar_tpu.tracking_fused import FusedTracker
+
+INTRIN = CameraIntrin(fx=220.0, fy=220.0, cx=128.0, cy=128.0)
+H = W = 256
+
+
+@pytest.fixture(scope="module")
+def sequence():
+    model = synthetic_model(detail=2)
+    gt = Avatar(model)
+    gt.randomize(seed=77)
+    gt.w *= 0.3
+    gt.p = np.array([0.0, 0.1, 2.6])
+    gt.r[0] = np.diag([-1.0, 1.0, -1.0])
+    rng = np.random.default_rng(8)
+    drift = rng.normal(0, 0.02, (24, 3))
+    frames = []
+    for t in range(5):
+        gt.update()
+        rend = AvatarRenderer(gt, INTRIN)
+        depth = rend.render_depth((H, W))
+        mask = rend.render_part_mask((H, W))
+        frames.append((depth, mask, gt.joint_pos.copy()))
+        step = np.asarray(rotation.so3_exp(jnp.asarray(drift, jnp.float32)))
+        gt.r = np.einsum("jab,jbc->jac", step, gt.r)
+        gt.p = gt.p + rng.normal(0, 0.01, 3)
+    return model, frames
+
+
+def test_fused_tracking_with_depth_input(sequence):
+    model, frames = sequence
+    cfg = TrackerConfig(data_interval=4, min_points=200, iters_per_icp=4)
+    tracker = FusedTracker(model, INTRIN, (H, W), config=cfg)
+    errs = []
+    for i, (depth, mask, gt_joints) in enumerate(frames):
+        res = tracker.track(depth, labels_override=mask)
+        assert res.ok
+        assert res.reinitialized == (i == 0)
+        ava = tracker.sync_avatar()
+        errs.append(np.linalg.norm(ava.joint_pos - gt_joints, axis=1).mean())
+    assert max(errs) < 0.09, f"fused tracking error: {np.round(errs, 3)}"
+
+
+def test_fused_uint16_matches_float(sequence):
+    model, frames = sequence
+    cfg = TrackerConfig(data_interval=4, min_points=200, iters_per_icp=4)
+    depth, mask, gtj = frames[0]
+
+    t1 = FusedTracker(model, INTRIN, (H, W), config=cfg)
+    assert t1.track(depth, labels_override=mask).ok
+    a1 = t1.sync_avatar()
+
+    t2 = FusedTracker(model, INTRIN, (H, W), config=cfg)
+    d16 = (depth * 1000).astype(np.uint16)
+    assert t2.track(d16, labels_override=mask).ok
+    a2 = t2.sync_avatar()
+    # +-0.5 mm quantization perturbs the ICP trajectory; both runs must land
+    # equally close to the ground truth (exact agreement isn't expected)
+    e1 = np.linalg.norm(a1.joint_pos - gtj, axis=1).mean()
+    e2 = np.linalg.norm(a2.joint_pos - gtj, axis=1).mean()
+    assert e2 < 0.09, f"u16 path err {e2 * 1e3:.1f} mm"
+    assert abs(e1 - e2) < 0.02, f"u16 vs f32 GT-error gap {abs(e1-e2)*1e3:.1f} mm"
+
+
+def test_fused_with_bgsub(sequence):
+    model, frames = sequence
+    depth, mask, gtj = frames[0]
+    bg_depth = np.full((H, W), 4.0, np.float32)
+    scene = np.where(depth > 0, depth, bg_depth)
+    cfg = TrackerConfig(data_interval=4, min_points=200, iters_per_icp=4)
+    tracker = FusedTracker(model, INTRIN, (H, W), config=cfg)
+    tracker.set_background(bg_depth)
+    res = tracker.track(scene, labels_override=mask)
+    assert res.ok
+    ava = tracker.sync_avatar()
+    err = np.linalg.norm(ava.joint_pos - gtj, axis=1).mean()
+    assert err < 0.09, f"bgsub fused err {err * 1e3:.1f} mm"
+
+
+def test_fused_loss_and_reinit(sequence):
+    model, frames = sequence
+    cfg = TrackerConfig(data_interval=4, min_points=200, iters_per_icp=4)
+    tracker = FusedTracker(model, INTRIN, (H, W), config=cfg)
+    depth, mask, _ = frames[0]
+    assert tracker.track(depth, labels_override=mask).ok
+    empty = np.zeros((H, W), np.float32)
+    res = tracker.track(empty, labels_override=np.full((H, W), 255, np.uint8))
+    assert not res.ok
+    assert tracker.reinit
+    res2 = tracker.track(depth, labels_override=mask)
+    assert res2.ok and res2.reinitialized
