@@ -1,0 +1,97 @@
+"""CLI tool smoke tests: every tool runs end-to-end on synthetic inputs."""
+
+import os
+
+import numpy as np
+import pytest
+
+from avatar_tpu.io.dataset import Dataset
+
+
+def test_smplsynth_and_rtree_dataset_flow(tmp_path):
+    from avatar_tpu.tools import smplsynth
+
+    out = str(tmp_path / "synth")
+    smplsynth.main([out, "-n", "4", "--width", "128", "--height", "128",
+                    "--fx", "110", "--fy", "110", "--cx", "64", "--cy", "64",
+                    "--synthetic-model", "1", "--batch", "4"])
+    ds = Dataset(out, pad=8)
+    assert ds.has_frame(0) and ds.has_frame(3) and not ds.has_frame(4)
+    d = ds.depth(0)
+    assert d.shape == (128, 128) and (d > 0).sum() > 50
+    m = ds.part_mask(0)
+    assert m is not None and (m != 255).sum() > 50
+    j = ds.joints(0)
+    assert j is not None and j["joints_xyz"].shape == (24, 3)
+
+
+def test_rtree_train_run_transfer_flow(tmp_path):
+    from avatar_tpu.tools import rtree_train, rtree_transfer, rtree_run
+
+    tree_path = str(tmp_path / "t.srtr")
+    rtree_train.main([tree_path, "--synthetic-model", "1", "--images", "12",
+                      "--pixels", "200", "--features", "16", "--depth", "5",
+                      "--min-samples", "20", "--probe", "60",
+                      "--width", "128", "--height", "128", "--fx", "110",
+                      "--fy", "110", "--cx", "64", "--cy", "64", "-q"])
+    assert os.path.exists(tree_path)
+
+    out_path = str(tmp_path / "t2.srtr")
+    rtree_transfer.main([tree_path, out_path, "--synthetic-model", "1",
+                         "--images", "4", "--width", "128", "--height", "128",
+                         "--fx", "110", "--fy", "110", "--cx", "64",
+                         "--cy", "64", "-q"])
+    assert os.path.exists(out_path)
+
+
+def test_smpltrim(tmp_path):
+    from avatar_tpu.core.model import AvatarModel
+    from avatar_tpu.tools import smpltrim
+
+    out = str(tmp_path / "trimmed")
+    smpltrim.main([out, "--synthetic-model", "1", "-d", "L_HIP",
+                   "-d", "R_HIP", "-t", "0.5"])
+    m = AvatarModel(out)
+    # deleting both hip subtrees removes 8 leg joints (hip/knee/ankle/foot)
+    assert m.num_joints() == 16
+    assert m.num_points() > 100
+    assert (m.faces < m.num_points()).all()
+    from avatar_tpu.core.model import Avatar
+
+    ava = Avatar(m)
+    ava.update()
+    assert np.isfinite(ava.cloud).all()
+
+
+def test_smpl_viewer(tmp_path):
+    from avatar_tpu.tools import smpl_viewer
+
+    out = str(tmp_path / "view.png")
+    smpl_viewer.main(["-o", out, "--synthetic-model", "1", "--random", "3",
+                      "--mode", "parts", "--size", "128x128"])
+    assert os.path.exists(out) or os.path.exists(out + ".npy")
+
+
+def test_data_recording_and_demo(tmp_path):
+    from avatar_tpu.tools import data_recording, demo
+
+    out = str(tmp_path / "rec")
+    data_recording.main([out, "--camera", "synthetic", "--frames", "3",
+                         "--fps", "0", "--verify"])
+    ds = Dataset(out, pad=4)
+    assert sum(1 for _ in ds.frames(start=1)) == 3
+
+
+def test_optim_tool():
+    from avatar_tpu.tools import optim_tool
+
+    post = optim_tool.main(["--synthetic-model", "1", "--size", "192x192",
+                            "--icp-iters", "3", "--interval", "2"])
+    assert post < 0.08
+
+
+def test_live_demo_synthetic(tmp_path):
+    from avatar_tpu.tools import live_demo
+
+    live_demo.main(["--camera", "synthetic", "--frames", "3",
+                    "--synthetic-model", "1", "-I", "4", "-M", "200"])
