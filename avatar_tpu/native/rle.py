@@ -39,7 +39,7 @@ def _load_native():
                 lib.rle_encode.restype = ctypes.c_longlong
                 lib.rle_encode.argtypes = [
                     ctypes.POINTER(ctypes.c_float), ctypes.c_longlong,
-                    ctypes.c_char_p, ctypes.c_longlong,
+                    ctypes.c_void_p, ctypes.c_longlong,
                 ]
                 _LIB = lib
                 return lib
