@@ -423,6 +423,22 @@ class Avatar:
                 jnp.asarray(axis_perturb * angle_perturb)))
             self.r[0] = pert @ up
 
+    def random_mocap_pose(self, pose_seq=None,
+                          rng: Optional[np.random.Generator] = None) -> None:
+        """Pose from a random mocap-bank frame (reference
+        Avatar::randomMocapPose; requires the avatar-mocap data bank)."""
+        from avatar_tpu.core.sequence import AvatarPoseSequence
+
+        if pose_seq is None:
+            pose_seq = AvatarPoseSequence()
+        if pose_seq.num_frames == 0:
+            raise FileNotFoundError(
+                "no mocap bank available (data/avatar-mocap/cmu-mocap.dat)")
+        rng = rng or np.random.default_rng()
+        pose_seq.pose_avatar(self, int(rng.integers(pose_seq.num_frames)))
+
+    randomMocapPose = random_mocap_pose
+
     def align_to_joints(self, pos: np.ndarray) -> None:
         """Heuristic pose fit so joints roughly match ``pos`` [J,3]
         (reference Avatar.cpp:141-193)."""

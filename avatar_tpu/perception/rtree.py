@@ -42,6 +42,7 @@ class TreeTensors(NamedTuple):
     leafid: jnp.ndarray   # [N] (-1 internal)
     leaf_data: jnp.ndarray  # [L, num_parts]
     leaf_best: jnp.ndarray  # [L] uint8 argmax part
+    leaf_conf: jnp.ndarray  # [L] f32 max leaf probability
 
 
 def _tree_depth(lnode, rnode, leafid) -> int:
@@ -60,27 +61,41 @@ def _tree_depth(lnode, rnode, leafid) -> int:
 
 @functools.partial(jax.jit, static_argnames=("max_depth", "interval"))
 def forest_walk(tree: TreeTensors, depth_img: jnp.ndarray, max_depth: int,
-                interval: int, top_left, bot_right) -> jnp.ndarray:
+                interval: int, top_left, bot_right,
+                probe_img: jnp.ndarray | None = None,
+                origin=None) -> jnp.ndarray:
     """Per-pixel leaf index over the strided grid.
 
     depth_img: [H, W] f32; pixels with depth == 0 are background.
     top_left/bot_right: dynamic (x, y) ROI bounds, inclusive; probes outside
     the ROI read BACKGROUND_DEPTH (reference RTree.cpp:3224-3237).
+    probe_img/origin: when walking a cropped window of a larger image, pass
+    the full image here plus the window's (x, y) origin so probes can reach
+    outside the window (ROI bounds are then in probe_img coordinates).
     Returns [H_s, W_s] int32 leaf ids (-1 for background pixels), where the
-    strided grid samples pixels (y, x) = (i * interval, j * interval).
+    strided grid samples pixels (y, x) = origin + (i, j) * interval.
     """
     H, W = depth_img.shape
     Hs = (H + interval - 1) // interval
     Ws = (W + interval - 1) // interval
-    ys = (jnp.arange(Hs) * interval)[:, None]
-    xs = (jnp.arange(Ws) * interval)[None, :]
+    if probe_img is None:
+        probe_img = depth_img
+    if origin is None:
+        origin = (jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+    Hp, Wp = probe_img.shape
+    ys = (jnp.arange(Hs) * interval)[:, None] + origin[1]
+    xs = (jnp.arange(Ws) * interval)[None, :] + origin[0]
     tlx, tly = top_left[0], top_left[1]
     brx, bry = bot_right[0], bot_right[1]
 
-    flat = depth_img.reshape(-1)
-    z = flat[jnp.minimum(ys * W + xs, H * W - 1)]
+    flatw = depth_img.reshape(-1)
+    ys_l = (jnp.arange(Hs) * interval)[:, None]
+    xs_l = (jnp.arange(Ws) * interval)[None, :]
+    z = flatw[jnp.minimum(ys_l * W + xs_l, H * W - 1)]
     fg = (z > 0) & (xs >= tlx) & (xs <= brx) & (ys >= tly) & (ys <= bry)
     zsafe = jnp.where(fg, z, 1.0)
+    flat = probe_img.reshape(-1)
+    H, W = Hp, Wp  # probe coordinate space
 
     def probe(off):
         # off: [Hs, Ws, 2] pixel offsets (already rounded ints)
@@ -263,6 +278,9 @@ class RTree:
             leafid=jnp.asarray(fd.leafid, jnp.int32),
             leaf_data=jnp.asarray(fd.leaf_data),
             leaf_best=jnp.asarray(np.argmax(fd.leaf_data, axis=1), jnp.uint8),
+            leaf_conf=jnp.asarray(
+                fd.leaf_data.max(axis=1) if fd.leaf_data.size else
+                np.zeros(0), jnp.float32),
         )
 
     # -- inference -------------------------------------------------------------

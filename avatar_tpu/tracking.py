@@ -46,6 +46,10 @@ class TrackerConfig:
     neighb_thresh_rel: float = 0.005
     bgsub_stride: int = 2         # subtraction grid stride (downstream
                                   # stages never read finer than stride 2)
+    # fused-tracker extras: forest label confidence gate and a tracked
+    # static-size segmentation window (full-res pixels; None = full image)
+    label_conf_thresh: float = 0.5
+    seg_window: Optional[tuple] = (576, 448)
     enable_occlusion: bool = True
     point_weight: float = 1.0
     plane_weight: float = 0.0

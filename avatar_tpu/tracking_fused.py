@@ -82,7 +82,7 @@ def _bg_subtract(xyz_s, bg_s, nn_t, nb_t, min_pts, cc_sub: int = 4):
     jax.jit,
     static_argnames=("parents", "seg_stride", "data_substride", "n_steps",
                      "num_parts", "max_depth", "use_forest", "use_bgsub",
-                     "use_jsr", "pad_n"))
+                     "use_jsr", "pad_n", "seg_window"))
 def fused_frame(ctx: FitContext, tree: Optional[TreeTensors],
                 parents: Tuple[int, ...], depth: jnp.ndarray,
                 labels_full: jnp.ndarray, bg_depth: jnp.ndarray,
@@ -91,7 +91,8 @@ def fused_frame(ctx: FitContext, tree: Optional[TreeTensors],
                 dist_to_pre_weight, seg_stride: int, data_substride: int,
                 n_steps: int, num_parts: int, max_depth: int,
                 use_forest: bool, use_bgsub: bool, use_jsr: bool,
-                pad_n: int) -> FrameOut:
+                pad_n: int, seg_window=None,
+                conf_thresh: float = 0.0) -> FrameOut:
     """One tracked frame, fully on device.
 
     depth [H, W] f32 meters (or uint16 millimeters — converted here), so the
@@ -126,15 +127,42 @@ def fused_frame(ctx: FitContext, tree: Optional[TreeTensors],
         xyz_s = jnp.where(fg[..., None], xyz_s, 0.0)
     # segmentation on the strided grid
     if use_forest:
+        Hs, Ws = depth_s.shape
         tl = jnp.asarray([0, 0], jnp.int32)
-        br = jnp.asarray([xyz_s.shape[1] - 1, xyz_s.shape[0] - 1], jnp.int32)
+        br = jnp.asarray([Ws - 1, Hs - 1], jnp.int32)
         # probes/thresholds were trained on full-res pixel units; the strided
         # grid just changes the offsets' pixel scale
         tree_scaled = tree._replace(u=tree.u / seg_stride,
                                     v=tree.v / seg_stride)
-        leaf = forest_walk(tree_scaled, depth_s, max_depth, 1, tl, br)
-        labels_s = jnp.where(
-            leaf >= 0, tree.leaf_best[jnp.maximum(leaf, 0)], jnp.uint8(255))
+        if seg_window is not None:
+            # walk only a tracked window (the forest walk is gather-bound;
+            # a static-size window centered on the previous frame's part
+            # centers cuts its cost ~4x).  Probes still read the full grid.
+            wh, ww = seg_window
+            has_com = com_pre[0] >= 0
+            n_com = jnp.maximum(jnp.sum(has_com.astype(depth_s.dtype)), 1.0)
+            ccx = jnp.sum(jnp.where(has_com, com_pre[0], 0.0)) / n_com
+            ccy = jnp.sum(jnp.where(has_com, com_pre[1], 0.0)) / n_com
+            any_com = jnp.any(has_com)
+            ccx = jnp.where(any_com, ccx / seg_stride, Ws / 2.0)
+            ccy = jnp.where(any_com, ccy / seg_stride, Hs / 2.0)
+            oy = jnp.clip(ccy.astype(jnp.int32) - wh // 2, 0, Hs - wh)
+            ox = jnp.clip(ccx.astype(jnp.int32) - ww // 2, 0, Ws - ww)
+            win = jax.lax.dynamic_slice(depth_s, (oy, ox), (wh, ww))
+            leaf = forest_walk(tree_scaled, win, max_depth, 1, tl, br,
+                               probe_img=depth_s, origin=(ox, oy))
+            lab_win = jnp.where(
+                (leaf >= 0) &
+                (tree.leaf_conf[jnp.maximum(leaf, 0)] >= conf_thresh),
+                tree.leaf_best[jnp.maximum(leaf, 0)], jnp.uint8(255))
+            labels_s = jax.lax.dynamic_update_slice(
+                jnp.full((Hs, Ws), 255, jnp.uint8), lab_win, (oy, ox))
+        else:
+            leaf = forest_walk(tree_scaled, depth_s, max_depth, 1, tl, br)
+            labels_s = jnp.where(
+                (leaf >= 0) &
+                (tree.leaf_conf[jnp.maximum(leaf, 0)] >= conf_thresh),
+                tree.leaf_best[jnp.maximum(leaf, 0)], jnp.uint8(255))
     else:
         labels_s = labels_full[::seg_stride, ::seg_stride]
         labels_s = jnp.where(depth_s > 0, labels_s, jnp.uint8(255))
@@ -245,12 +273,19 @@ class FusedTracker:
         self._bg = jnp.asarray(bg, self.model.dtype)
         self._use_bgsub = True
 
-    def _run(self, xyz, labels, n_steps):
+    def _run(self, xyz, labels, n_steps, use_window=True):
         c = self.config
         H, W = self.image_size
         scale = 1200000.0 / (H * W)
         st = self._seg_stride
         min_cc = max(H * W // 1000, 100) // (st * st * 16)  # cc_sub=4 grid
+        window = None
+        if (use_window and c.seg_window is not None and
+                self.rtree is not None):
+            Hs = (H + st - 1) // st
+            Ws = (W + st - 1) // st
+            window = (min(c.seg_window[0] // st, Hs),
+                      min(c.seg_window[1] // st, Ws))
         return fused_frame(
             self._ctx, self._tree, self.model.parents, xyz, labels, self._bg,
             self._intrin4, self._theta, self.com_pre,
@@ -266,7 +301,8 @@ class FusedTracker:
             use_forest=self.rtree is not None,
             use_bgsub=self._use_bgsub,
             use_jsr=self.model.use_joint_shape_regressor,
-            pad_n=self._pad_n)
+            pad_n=self._pad_n, seg_window=window,
+            conf_thresh=c.label_conf_thresh)
 
     def track(self, frame, labels_override: Optional[np.ndarray] = None):
         """Track one frame.  ``frame`` is an XYZ map [H, W, 3], a float
@@ -288,23 +324,11 @@ class FusedTracker:
         else:
             labels = jnp.asarray(labels_override, jnp.uint8)
 
-        n_steps = c.frame_icp_iters * c.iters_per_icp
-        with self.timer.stage("frame"):
-            out = self._run(xyz, labels, n_steps)
-            try:
-                out.n_points.copy_to_host_async()
-            except AttributeError:  # older jax arrays
-                pass
-            n_points = int(out.n_points)
-
         min_needed = c.min_points / (c.data_interval ** 2)
         reinitialized = False
-        if n_points < min_needed:
-            self.reinit = True
-            return TrackResult(ok=False, n_points=n_points)
-
         if self.reinit:
             # host-side reinit: recenter at the (approximate) cloud centroid
+            # and run a full-image (no window) fit with extra iterations
             with self.timer.stage("reinit"):
                 d_sub = depth_np[::c.data_interval, ::c.data_interval]
                 d_sub = (d_sub.astype(np.float32) * 1e-3
@@ -329,18 +353,85 @@ class FusedTracker:
                     rots=jnp.asarray(rots, self.model.dtype),
                     w=jnp.zeros(self.model.num_shape_keys(),
                                 self.model.dtype))
+                self.com_pre = jnp.asarray(np.concatenate(
+                    [np.full((1, self.num_parts), -1.0),
+                     np.zeros((1, self.num_parts))]), self.model.dtype)
                 steps = (c.initial_icp_iters if self.first_init
                          else c.reinit_icp_iters) * c.iters_per_icp
-                out = self._run(xyz, labels, steps)
+                out = self._run(xyz, labels, steps, use_window=False)
+                n_points = int(out.n_points)
+            if n_points < min_needed:
+                return TrackResult(ok=False, n_points=n_points)
             self.reinit = False
             self.first_init = False
             reinitialized = True
+        else:
+            n_steps = c.frame_icp_iters * c.iters_per_icp
+            with self.timer.stage("frame"):
+                out = self._run(xyz, labels, n_steps)
+                n_points = int(out.n_points)
+            if n_points < min_needed:
+                self.reinit = True
+                return TrackResult(ok=False, n_points=n_points)
 
         self._theta = out.theta
         self.com_pre = out.com_pre
         return TrackResult(ok=True, reinitialized=reinitialized,
                            n_points=n_points,
                            fit_info=dict(cost=float(out.cost)))
+
+    def track_async(self, frame, labels_override: Optional[np.ndarray] = None):
+        """Throughput-mode tracking: dispatches this frame immediately
+        (chained device-side off the previous frame's pose) and returns the
+        *previous* frame's TrackResult (None for the first call).  Loss
+        detection therefore lags one frame — the following call runs the
+        reinitialization path, exactly like the reference's next-frame
+        reinit.  Host, upload and device work fully overlap; steady-state
+        cost is max(upload, device) instead of their sum."""
+        from avatar_tpu.tracking import TrackResult
+
+        c = self.config
+        if self.reinit:
+            # flush the pipeline and run a synchronous reinit frame
+            self._pending = None
+            res = self.track(frame, labels_override)
+            return res
+
+        depth_np = np.asarray(frame)
+        if depth_np.ndim == 3:
+            depth_np = depth_np[..., 2]
+        xyz = jnp.asarray(depth_np) if depth_np.dtype == np.uint16 else \
+            jnp.asarray(depth_np, self.model.dtype)
+        labels = (jnp.zeros(self.image_size, jnp.uint8)
+                  if labels_override is None
+                  else jnp.asarray(labels_override, jnp.uint8))
+        n_steps = c.frame_icp_iters * c.iters_per_icp
+        out = self._run(xyz, labels, n_steps)      # async dispatch
+        self._theta = out.theta                    # device-side chain
+        self.com_pre = out.com_pre
+
+        prev = getattr(self, "_pending", None)
+        self._pending = out
+        if prev is None:
+            return None
+        n_points = int(prev.n_points)              # prev has long finished
+        if n_points < c.min_points / (c.data_interval ** 2):
+            self.reinit = True
+            return TrackResult(ok=False, n_points=n_points)
+        return TrackResult(ok=True, n_points=n_points,
+                           fit_info=dict(cost=float(prev.cost)))
+
+    def flush(self):
+        """Resolve the in-flight frame from track_async (returns its
+        TrackResult or None)."""
+        from avatar_tpu.tracking import TrackResult
+
+        prev = getattr(self, "_pending", None)
+        self._pending = None
+        if prev is None:
+            return None
+        return TrackResult(ok=True, n_points=int(prev.n_points),
+                           fit_info=dict(cost=float(prev.cost)))
 
     def sync_avatar(self) -> Avatar:
         """Materialize the device-side pose into self.ava (host)."""

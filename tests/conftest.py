@@ -30,6 +30,8 @@ def tiny_model():
     return synthetic_model(detail=1)
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: a shared session rng makes test inputs depend on
+    # execution order (observed flake in test_exp_log_roundtrip)
     return np.random.default_rng(42)
