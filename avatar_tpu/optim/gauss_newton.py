@@ -79,6 +79,9 @@ class FitContext(NamedTuple):
     faces: jnp.ndarray       # [F, 3] int32
     model_part: jnp.ndarray  # [P] int32 body part per model vertex
     prior: PriorData
+    # optional NN-candidate mask [P] (None = all vertices): the TPU analogue
+    # of the reference's nnStep vertex subsampling (AvatarOptimizer.h:30-33)
+    cand_mask: jnp.ndarray | None = None
 
 
 class Theta(NamedTuple):
@@ -271,6 +274,8 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
             vis = correspond.backface_visibility(x, ctx.faces)
         else:
             vis = jnp.ones(P, jnp.bool_)
+        if ctx.cand_mask is not None:
+            vis = vis & ctx.cand_mask
         st = correspond.find_nn_stats(
             data_pts, data_part, x, ctx.model_part, vis, chunk=chunk)
         valid = st.corr >= 0

@@ -103,12 +103,13 @@ def fused_frame(ctx: FitContext, tree: Optional[TreeTensors],
     data samples are taken every seg_stride * data_substride pixels.
     """
     H, W = depth.shape[:2]
-    if depth.dtype == jnp.uint16:
-        depth = depth.astype(jnp.float32) * 0.001
     fx, fy, cx, cy = intrin4[0], intrin4[1], intrin4[2], intrin4[3]
 
     def strided_xyz(d_full):
         d_s = d_full[::seg_stride, ::seg_stride]
+        # convert after striding: u16mm -> f32m on the full grid costs ~7 ms
+        if d_s.dtype == jnp.uint16:
+            d_s = d_s.astype(jnp.float32) * 0.001
         Hs, Ws = d_s.shape
         xs = (jnp.arange(Ws, dtype=d_s.dtype) * seg_stride)[None, :]
         ys = (jnp.arange(Hs, dtype=d_s.dtype) * seg_stride)[:, None]
@@ -119,8 +120,6 @@ def fused_frame(ctx: FitContext, tree: Optional[TreeTensors],
     depth_s = xyz_s[..., 2]
 
     if use_bgsub:
-        if bg_depth.dtype == jnp.uint16:
-            bg_depth = bg_depth.astype(jnp.float32) * 0.001
         bg_s = strided_xyz(bg_depth)
         fg = _bg_subtract(xyz_s, bg_s, nn_t, nb_t, min_cc_pts)
         depth_s = jnp.where(fg, depth_s, 0.0)
@@ -178,9 +177,20 @@ def fused_frame(ctx: FitContext, tree: Optional[TreeTensors],
         : labels_s.shape[0], : labels_s.shape[1]]
     labels_s = jnp.where(filt_up == labels_s, labels_s, jnp.uint8(255))
 
-    # stride-sampled data cloud: every data_substride-th strided sample
-    sub_xyz = xyz_s[::data_substride, ::data_substride]
-    sub_lab = labels_s[::data_substride, ::data_substride]
+    # stride-sampled data cloud: every data_substride-th strided sample.
+    # With a tracked window active, everything outside it is background by
+    # construction — restrict the data grid to the window so the fit's
+    # static bucket (and the NN search) is ~4x smaller.
+    if use_forest and seg_window is not None:
+        xyz_src = jax.lax.dynamic_slice(
+            xyz_s, (oy, ox, jnp.asarray(0, oy.dtype)),
+            (seg_window[0], seg_window[1], 3))
+        lab_src = jax.lax.dynamic_slice(labels_s, (oy, ox), seg_window)
+    else:
+        xyz_src = xyz_s
+        lab_src = labels_s
+    sub_xyz = xyz_src[::data_substride, ::data_substride]
+    sub_lab = lab_src[::data_substride, ::data_substride]
     pts = sub_xyz.reshape(-1, 3)
     pts = jnp.stack([pts[:, 0], -pts[:, 1], pts[:, 2]], axis=1)
     parts = sub_lab.reshape(-1).astype(jnp.int32)
@@ -234,12 +244,8 @@ class FusedTracker:
                             model.pose_prior.prec_cho,
                             model.pose_prior.consts_log),
         )
-        self._tree = rtree._tree if rtree is not None else None
         self._max_depth = rtree._max_depth if rtree is not None else 0
-        self._bg = jnp.zeros((image_size[0], image_size[1]), model.dtype)
         self._use_bgsub = False
-        self._intrin4 = jnp.asarray(
-            [intrin.fx, intrin.fy, intrin.cx, intrin.cy], model.dtype)
         self.com_pre = jnp.asarray(
             np.concatenate([np.full((1, num_parts), -1.0),
                             np.zeros((1, num_parts))]), model.dtype)
@@ -254,38 +260,61 @@ class FusedTracker:
         c = self.config
         H, W = self.image_size
         ss = c.rtree_interval
+        # nothing downstream reads finer than the segmentation stride, so
+        # the host pre-strides every frame before upload (1.8 MB -> ~0.2 MB
+        # at stride 3) and the device pipeline runs on the strided grid with
+        # correspondingly scaled intrinsics and forest probe offsets
+        self._host_stride = ss
+        self._proc_size = ((H + ss - 1) // ss, (W + ss - 1) // ss)
+        self._seg_stride = 1
+        self._intrin4 = jnp.asarray(
+            [intrin.fx / ss, intrin.fy / ss, intrin.cx / ss, intrin.cy / ss],
+            model.dtype)
+        if rtree is not None:
+            t = rtree._tree
+            self._tree = t._replace(u=t.u / ss, v=t.v / ss)
+        else:
+            self._tree = None
+        self._bg = jnp.zeros(self._proc_size, model.dtype)
         dsub = max(c.data_interval // ss, 1)
-        self._seg_stride = ss
         self._data_substride = dsub
-        Hs = (H + ss - 1) // ss
-        Ws = (W + ss - 1) // ss
+        Hs, Ws = self._proc_size
         n_data = ((Hs + dsub - 1) // dsub) * ((Ws + dsub - 1) // dsub)
         pad = 1024
         while pad < n_data:
             pad *= 2
         self._pad_n = pad
 
+    def _pre_stride(self, arr: np.ndarray) -> np.ndarray:
+        s = self._host_stride
+        return arr if s == 1 else np.ascontiguousarray(arr[::s, ::s])
+
     def set_background(self, background_xyz: np.ndarray) -> None:
         """Accepts an XYZ map [H, W, 3] or a depth map [H, W]."""
         bg = np.asarray(background_xyz)
         if bg.ndim == 3:
             bg = bg[..., 2]
-        self._bg = jnp.asarray(bg, self.model.dtype)
+        self._bg = jnp.asarray(self._pre_stride(bg), self.model.dtype)
         self._use_bgsub = True
 
     def _run(self, xyz, labels, n_steps, use_window=True):
         c = self.config
-        H, W = self.image_size
+        H, W = self.image_size          # full-res (threshold scaling)
+        hs = self._host_stride
         scale = 1200000.0 / (H * W)
-        st = self._seg_stride
-        min_cc = max(H * W // 1000, 100) // (st * st * 16)  # cc_sub=4 grid
+        min_cc = max(H * W // 1000, 100) // (hs * hs * 16)  # cc_sub=4 grid
         window = None
+        pad_n = self._pad_n
         if (use_window and c.seg_window is not None and
                 self.rtree is not None):
-            Hs = (H + st - 1) // st
-            Ws = (W + st - 1) // st
-            window = (min(c.seg_window[0] // st, Hs),
-                      min(c.seg_window[1] // st, Ws))
+            Hs, Ws = self._proc_size
+            window = (min(c.seg_window[0] // hs, Hs),
+                      min(c.seg_window[1] // hs, Ws))
+            dsub = self._data_substride
+            n_data = (-(-window[0] // dsub)) * (-(-window[1] // dsub))
+            pad_n = 1024
+            while pad_n < n_data:
+                pad_n *= 2
         return fused_frame(
             self._ctx, self._tree, self.model.parents, xyz, labels, self._bg,
             self._intrin4, self._theta, self.com_pre,
@@ -295,13 +324,13 @@ class FusedTracker:
             jnp.asarray(scale * c.neighb_thresh_rel, self.model.dtype),
             jnp.asarray(min_cc, jnp.int32),
             jnp.asarray(c.dist_to_pre_weight, self.model.dtype),
-            seg_stride=st, data_substride=self._data_substride,
+            seg_stride=self._seg_stride, data_substride=self._data_substride,
             n_steps=n_steps, num_parts=self.num_parts,
             max_depth=self._max_depth,
             use_forest=self.rtree is not None,
             use_bgsub=self._use_bgsub,
             use_jsr=self.model.use_joint_shape_regressor,
-            pad_n=self._pad_n, seg_window=window,
+            pad_n=pad_n, seg_window=window,
             conf_thresh=c.label_conf_thresh)
 
     def track(self, frame, labels_override: Optional[np.ndarray] = None):
@@ -315,14 +344,16 @@ class FusedTracker:
         H, W = self.image_size
         frame = np.asarray(frame)
         depth_np = frame[..., 2] if frame.ndim == 3 else frame
+        depth_np = self._pre_stride(depth_np)
         if depth_np.dtype == np.uint16:
             xyz = jnp.asarray(depth_np)
         else:
             xyz = jnp.asarray(depth_np, self.model.dtype)
         if labels_override is None:
-            labels = jnp.zeros((H, W), jnp.uint8)
+            labels = jnp.zeros(self._proc_size, jnp.uint8)
         else:
-            labels = jnp.asarray(labels_override, jnp.uint8)
+            labels = jnp.asarray(self._pre_stride(
+                np.asarray(labels_override)), jnp.uint8)
 
         min_needed = c.min_points / (c.data_interval ** 2)
         reinitialized = False
@@ -330,18 +361,22 @@ class FusedTracker:
             # host-side reinit: recenter at the (approximate) cloud centroid
             # and run a full-image (no window) fit with extra iterations
             with self.timer.stage("reinit"):
-                d_sub = depth_np[::c.data_interval, ::c.data_interval]
+                dsub = self._data_substride
+                d_sub = depth_np[::dsub, ::dsub]
                 d_sub = (d_sub.astype(np.float32) * 1e-3
                          if d_sub.dtype == np.uint16 else d_sub)
-                ys = np.arange(0, H, c.data_interval)[:, None]
-                xs = np.arange(0, W, c.data_interval)[None, :]
+                hs = self._host_stride
+                ys = np.arange(0, d_sub.shape[0]) * dsub * hs
+                xs = np.arange(0, d_sub.shape[1]) * dsub * hs
                 i = self.intrin
-                sub = np.stack([(xs - i.cx) * d_sub / i.fx,
-                                (ys - i.cy) * d_sub / i.fy, d_sub], -1)
+                sub = np.stack([(xs[None, :] - i.cx) * d_sub / i.fx,
+                                (ys[:, None] - i.cy) * d_sub / i.fy,
+                                d_sub], -1)
                 fg = sub[..., 2] > 0
                 if labels_override is not None:
-                    lab = np.asarray(
-                        labels_override[::c.data_interval, ::c.data_interval])
+                    lab = np.asarray(labels_override)[
+                        ::dsub * hs, ::dsub * hs][
+                        : fg.shape[0], : fg.shape[1]]
                     fg &= lab != 255
                 centroid = (sub[fg] * np.array([1, -1, 1])).mean(axis=0) \
                     if fg.any() else np.array([0.0, 0.0, 2.5])
@@ -400,11 +435,13 @@ class FusedTracker:
         depth_np = np.asarray(frame)
         if depth_np.ndim == 3:
             depth_np = depth_np[..., 2]
+        depth_np = self._pre_stride(depth_np)
         xyz = jnp.asarray(depth_np) if depth_np.dtype == np.uint16 else \
             jnp.asarray(depth_np, self.model.dtype)
-        labels = (jnp.zeros(self.image_size, jnp.uint8)
+        labels = (jnp.zeros(self._proc_size, jnp.uint8)
                   if labels_override is None
-                  else jnp.asarray(labels_override, jnp.uint8))
+                  else jnp.asarray(self._pre_stride(
+                      np.asarray(labels_override)), jnp.uint8))
         n_steps = c.frame_icp_iters * c.iters_per_icp
         out = self._run(xyz, labels, n_steps)      # async dispatch
         self._theta = out.theta                    # device-side chain
