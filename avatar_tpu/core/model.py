@@ -13,7 +13,7 @@ compute dispatches to the functional jitted kernels in core/lbs.py.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -472,7 +472,7 @@ class Avatar:
         for i in range(1, J):
             pi = model.parent[i]
             rot_trans[i] = rot_trans[pi]
-            if not np.isnan(pos[0, i % pos.shape[0]] if pos.ndim == 1 else pos[i, 0]):
+            if not np.isnan(pos[i, 0]):
                 vv = init[i] - init[pi]
                 vvt = pos[i] - pos[pi]
                 rot_trans[i] = _rot_between(vv, vvt)

@@ -97,7 +97,6 @@ def encode(depth: np.ndarray) -> bytes:
     if nz.shape[0] == 0:
         return header  # all zeros: empty stream (decoder zero-fills)
     gaps = np.diff(np.concatenate([[-1], nz])) - 1  # zeros before each nonzero
-    out = []
     vals = flat[nz]
     # Interleave: for each nonzero value, optionally a -gap then the value.
     has_gap = gaps > 0

@@ -17,7 +17,7 @@ we return *per-model-point sufficient statistics*:
 
     cnt[p]  = number of data points matched to model point p
     s[p]    = sum of matched data points            [P, 3]
-    q       = sum of |d_n|^2 over matched points    (scalar)
+    q       = sum of |d_n - centroid|^2 over matches (scalar)
 
 which are all the optimizer needs to build exact Gauss-Newton normal
 equations and exact costs (see gauss_newton.py) with fully static shapes.
@@ -110,7 +110,6 @@ def find_nn_stats(data_pts: jnp.ndarray, data_part: jnp.ndarray,
         visible = jnp.concatenate(
             [visible, jnp.zeros((pad,), jnp.bool_)], axis=0)
     Pp = model_cloud.shape[0]
-    n_chunks = Pp // chunk
 
     if use_pallas and Pp % 1024 == 0:
         # fused VMEM-resident kernel (see nn_pallas.py): HBM traffic drops
@@ -121,6 +120,7 @@ def find_nn_stats(data_pts: jnp.ndarray, data_part: jnp.ndarray,
             data_pts_c, data_part, model_cloud, model_part, visible,
             tile_n=256, chunk=1024)
     else:
+        n_chunks = Pp // chunk
         mc = model_cloud.reshape(n_chunks, chunk, 3)
         mp = model_part.reshape(n_chunks, chunk)
         mv = visible.reshape(n_chunks, chunk)

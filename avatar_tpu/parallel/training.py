@@ -20,8 +20,6 @@ dry-run validate on a virtual 8-device CPU mesh.
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from avatar_tpu.render import raster
-from avatar_tpu.render.raster import RasterOutput, project_points
+from avatar_tpu.render.raster import project_points
 
 
 class FrameRender(NamedTuple):

@@ -14,7 +14,6 @@ Use ``synthetic_model(detail=...)`` for an in-memory AvatarModel, or
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
 
 import numpy as np
 

@@ -15,8 +15,6 @@ import os
 import sys
 import time
 
-import numpy as np
-
 from avatar_tpu.io.camera import open_camera
 from avatar_tpu.perception.rtree import RTree
 from avatar_tpu.tools.common import add_model_args, load_model

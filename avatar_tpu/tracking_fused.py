@@ -21,7 +21,6 @@ extra fused call after the host resets the pose.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import NamedTuple, Optional, Tuple
 
