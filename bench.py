@@ -184,6 +184,33 @@ def main():
     fps = n_frames / wall
     frame_ms = np.asarray([wall / n_frames * 1e3])
     stages = {k: float(np.mean(v)) for k, v in tracker.timer.stats.items()}
+
+    # standalone GN/LM fit latency with device-resident inputs (the
+    # BASELINE.md "per-frame fit < 8 ms" target; excludes link transfers)
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    from avatar_tpu.optim.gauss_newton import fit as _fit
+
+    _pts = _jnp.zeros((8192, 3), _jnp.float32)
+    _parts = _jnp.full((8192,), -1, _jnp.int32)
+    _parts = _parts.at[:4096].set(
+        _jnp.arange(4096, dtype=_jnp.int32) % 24)
+    _pts = _pts.at[:4096].set(
+        _jnp.asarray(np.random.default_rng(0).normal(
+            [0, 0, 2.6], 0.3, (4096, 3)), _jnp.float32))
+    _th = tracker._theta
+    _out = _fit(tracker._ctx, model.parents, _pts, _parts, _th,
+                _jnp.asarray(0.05, _jnp.float32),
+                _jnp.asarray(0.12, _jnp.float32), n_steps=12)
+    _jax.block_until_ready(_out)
+    _t0 = time.perf_counter()
+    for _ in range(10):
+        _out = _fit(tracker._ctx, model.parents, _pts, _parts, _th,
+                    _jnp.asarray(0.05, _jnp.float32),
+                    _jnp.asarray(0.12, _jnp.float32), n_steps=12)
+    _jax.block_until_ready(_out)
+    fit_device_ms = (time.perf_counter() - _t0) / 10 * 1e3
     from avatar_tpu.core.lbs import lbs as _lbs
 
     errs = []
@@ -200,6 +227,7 @@ def main():
         "unit": "fps",
         "vs_baseline": round(float(fps) / 15.0, 2),
         "latency_ms": round(latency_ms, 3),
+        "fit_device_ms": round(float(fit_device_ms), 3),
         "frame_ms": round(float(frame_ms.mean()), 3) if len(frame_ms) else 0,
         "joint_err_mm": round(joint_err_mm, 2),
         "frames": n_frames,

@@ -95,3 +95,26 @@ def test_live_demo_synthetic(tmp_path):
 
     live_demo.main(["--camera", "synthetic", "--frames", "3",
                     "--synthetic-model", "1", "-I", "4", "-M", "200"])
+
+
+def test_demo_tool_over_synthetic_dataset(tmp_path):
+    """Full demo.cpp flow: generate a dataset, train a forest, track it."""
+    from avatar_tpu.tools import demo, rtree_train, smplsynth
+
+    ds = str(tmp_path / "ds")
+    smplsynth.main([ds, "-n", "4", "--width", "160", "--height", "160",
+                    "--fx", "140", "--fy", "140", "--cx", "80", "--cy", "80",
+                    "--synthetic-model", "1", "--batch", "4"])
+    tree = str(tmp_path / "t.srtr")
+    rtree_train.main([tree, "--synthetic-model", "1", "--images", "10",
+                      "--pixels", "200", "--features", "16", "--depth", "5",
+                      "--min-samples", "20", "--probe", "70",
+                      "--width", "160", "--height", "160", "--fx", "140",
+                      "--fy", "140", "--cx", "80", "--cy", "80", "-q"])
+    out = str(tmp_path / "overlay")
+    demo.main([ds, tree, "-p", "8", "-i", "0", "--synthetic-model", "1",
+               "-I", "6", "-M", "100", "--max-frames", "3", "--out", out,
+               "--rtree-only"])
+    # and the tracking path (no --rtree-only)
+    demo.main([ds, tree, "-p", "8", "-i", "0", "--synthetic-model", "1",
+               "-I", "6", "-M", "100", "--max-frames", "2"])
