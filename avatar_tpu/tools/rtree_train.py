@@ -49,6 +49,10 @@ def build_parser():
     ap.add_argument("--checkpoint", default="",
                     help="resumable training state path (saved every level "
                          "and on SIGINT, like the reference's RTREE_V3)")
+    ap.add_argument("--data", default="",
+                    help="train from a recorded dataset dir containing "
+                         "depth_exr/ + part_mask/ instead of synthetic "
+                         "renders (reference rtree-train.cpp:135)")
     ap.add_argument("-q", "--quiet", action="store_true")
     add_model_args(ap)
     return ap
@@ -56,13 +60,32 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    model = load_model(args)
-    intrin = CameraIntrin(fx=args.fx, fy=args.fy, cx=args.cx, cy=args.cy)
     part_map = None
     num_parts = args.num_parts
     pm_type = 0
     if args.part_map:
         part_map, num_parts, pm_type = formats.read_partmap(args.part_map)
+
+    if args.data:
+        import os
+
+        tree = RTree(num_parts)
+        tree.train(
+            os.path.join(args.data, "depth_exr"),
+            os.path.join(args.data, "part_mask"),
+            verbose=not args.quiet, num_images=args.images,
+            num_points_per_image=args.pixels, num_features=args.features,
+            max_probe_offset=args.probe, min_samples=args.min_samples,
+            max_tree_depth=args.depth, threshes_per_feature=args.threshes,
+            train_partial_save_path=args.checkpoint, seed=args.seed)
+        tree.part_map = list(part_map) if part_map is not None else []
+        tree.partmap_type = pm_type
+        tree.export_file(args.output)
+        print(f"wrote {args.output} ({tree.forest.num_nodes} nodes)")
+        return
+
+    model = load_model(args)
+    intrin = CameraIntrin(fx=args.fx, fy=args.fy, cx=args.cx, cy=args.cy)
     pose_seq = load_pose_seq(args.pose_seq) if args.pose_seq else None
 
     tree = RTree(num_parts)

@@ -258,8 +258,65 @@ def _sample_pixels(depth: np.ndarray, mask: np.ndarray, S: int,
     return x, y, p, val
 
 
+class FileFrameSource:
+    """Depth + part-mask frame pairs read from two directories.
+
+    Rebuild of the reference's FileDataSource (RTree.cpp:351-420): both
+    directories are listed and sorted; pair i is (depth_paths[i],
+    mask_paths[i]).  Depth frames may be .exr / .depth (formats.read_depth)
+    or any OpenCV-readable image (integer images are taken as millimeters);
+    part masks are 8-bit grayscale with 255 = background.
+    """
+
+    def __init__(self, depth_dir: str, part_mask_dir: str):
+        self.depth_paths = sorted(
+            os.path.join(depth_dir, f) for f in os.listdir(depth_dir))
+        self.mask_paths = sorted(
+            os.path.join(part_mask_dir, f) for f in os.listdir(part_mask_dir))
+        if len(self.depth_paths) != len(self.mask_paths):
+            raise ValueError(
+                f"depth/part-mask count mismatch: {len(self.depth_paths)} vs "
+                f"{len(self.mask_paths)}")
+        if not self.depth_paths:
+            raise ValueError(f"no depth frames found in {depth_dir}")
+
+    def size(self) -> int:
+        return len(self.depth_paths)
+
+    def _read_depth(self, path: str) -> np.ndarray:
+        if path.endswith(".exr") or path.endswith(".depth"):
+            m = formats.read_depth(path)
+            return m[..., 2] if m.ndim == 3 else m
+        import cv2
+
+        m = cv2.imread(path, cv2.IMREAD_ANYDEPTH | cv2.IMREAD_GRAYSCALE)
+        if m is None:
+            raise FileNotFoundError(path)
+        if np.issubdtype(m.dtype, np.integer):
+            return m.astype(np.float32) * 1e-3  # millimeters -> meters
+        return np.asarray(m, np.float32)
+
+    def _read_mask(self, path: str) -> np.ndarray:
+        import cv2
+
+        m = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+        if m is None:
+            raise FileNotFoundError(path)
+        return np.asarray(m, np.uint8)
+
+    def image_size(self):
+        d = self._read_depth(self.depth_paths[0])
+        return d.shape[:2]
+
+    def load_batch(self, ids: np.ndarray):
+        depth = np.stack([self._read_depth(self.depth_paths[i])
+                          for i in ids]).astype(np.float32)
+        mask = np.stack([self._read_mask(self.mask_paths[i]) for i in ids])
+        return depth, mask
+
+
 class ForestTrainer:
-    """Breadth-first synthetic forest trainer.
+    """Breadth-first forest trainer (synthetic renders or file frames).
 
     Key hyperparameters follow rtree-train defaults (rtree-train.cpp:26-52):
     num_images, num_points_per_image, num_features, max_probe_offset,
@@ -273,7 +330,8 @@ class ForestTrainer:
                  max_tree_depth: int = 13, n_buckets: int = 16,
                  image_batch: int = 16, node_chunk: int = 256,
                  seed: int = 0, verbose: bool = False,
-                 checkpoint_path: str = "", mesh: Optional[object] = None):
+                 checkpoint_path: str = "", mesh: Optional[object] = None,
+                 frame_source: Optional[FileFrameSource] = None):
         self.model = model
         self.H, self.W = image_size
         self.num_parts = num_parts
@@ -290,14 +348,22 @@ class ForestTrainer:
         self.verbose = verbose
         self.checkpoint_path = checkpoint_path
         self.mesh = mesh
-        self.src = synth.make_source(model, intrin, part_map, pose_seq,
-                                     n_images=num_images, seed=seed)
+        self.frame_source = frame_source
+        if frame_source is None:
+            self.src = synth.make_source(model, intrin, part_map, pose_seq,
+                                         n_images=num_images, seed=seed)
+        else:
+            self.src = None
+            self.num_images = min(num_images, frame_source.size()) \
+                if num_images else frame_source.size()
         self._rng = np.random.default_rng(seed)
         self._panic = False
 
     # -- data -----------------------------------------------------------------
 
     def _render_batch(self, ids: np.ndarray):
+        if self.frame_source is not None:
+            return self.frame_source.load_batch(ids)
         depth, mask, _ = synth.render_batch(
             self.src, self.model.parents, jnp.asarray(ids, jnp.int32),
             self.seed, self.H, self.W, self.model.num_shape_keys())
@@ -608,7 +674,34 @@ def train_transfer(rtree, avatar_model, pose_seq, intrin, image_size,
         new_leaf.astype(np.float32), fd.num_parts))
 
 
-def train_from_files(rtree, depth_dir: str, part_mask_dir: str, **kwargs):
-    raise NotImplementedError(
-        "file-dataset training (reference TrainerV2 FileDataSource) is not "
-        "wired up yet; use train_from_avatar for synthetic training")
+def train_from_files(rtree, depth_dir: str, part_mask_dir: str,
+                     num_threads: int = 0, verbose: bool = False,
+                     num_images: int = 0, num_points_per_image: int = 1000,
+                     num_features: int = 128, num_features_filtered: int = 0,
+                     max_probe_offset: float = 170.0, min_samples: int = 64,
+                     max_tree_depth: int = 13,
+                     min_samples_per_feature: int = 0,
+                     frac_samples_per_feature: float = 0.0,
+                     threshes_per_feature: int = 16,
+                     max_images_loaded: int = 0, mem_limit_mb: int = 0,
+                     train_partial_save_path: str = "",
+                     seed: int = 0) -> None:
+    """Train rtree from recorded depth + part-mask frame pairs on disk
+    (reference RTree::train with FileDataSource, RTree.cpp:3264-3290).
+
+    Both directories are listed and sorted; frame i pairs depth_paths[i]
+    with mask_paths[i].  Frames are held in the host-side depth cache like
+    the reference's max_images_loaded LRU (ignored here: the cache is dense).
+    """
+    src = FileFrameSource(depth_dir, part_mask_dir)
+    image_size = src.image_size()
+    trainer = ForestTrainer(
+        None, None, image_size, rtree.num_parts,
+        num_images=num_images or src.size(),
+        num_points_per_image=num_points_per_image,
+        num_features=num_features, max_probe_offset=max_probe_offset,
+        min_samples=min_samples, max_tree_depth=max_tree_depth,
+        n_buckets=threshes_per_feature, seed=seed, verbose=verbose,
+        checkpoint_path=train_partial_save_path, frame_source=src)
+    fd = trainer.train(resume_from=train_partial_save_path)
+    rtree.set_forest(fd)

@@ -100,6 +100,44 @@ def test_checkpoint_resume(model, tmp_path):
                                atol=1e-6)
 
 
+def test_train_from_files(model, tmp_path):
+    """File-dataset training (reference FileDataSource path): write rendered
+    frames to disk, train from the directories, check the tree segments."""
+    import os
+
+    from avatar_tpu.io.formats import write_depth_rle
+
+    cv2 = pytest.importorskip("cv2")
+    ddir = tmp_path / "depth_exr"
+    mdir = tmp_path / "part_mask"
+    os.makedirs(ddir)
+    os.makedirs(mdir)
+    n_img = 24
+    src = synth.make_source(model, INTRIN, n_images=n_img, seed=11)
+    depth, mask, _ = synth.render_batch(
+        src, model.parents, jnp.arange(n_img, dtype=jnp.int32), 11, H, W,
+        model.num_shape_keys())
+    depth_np, mask_np = np.asarray(depth), np.asarray(mask)
+    for i in range(n_img):
+        write_depth_rle(str(ddir / f"depth_{i:08d}.depth"), depth_np[i])
+        cv2.imwrite(str(mdir / f"part_mask_{i:08d}.png"), mask_np[i])
+
+    tree = RTree(24)
+    tree.train(str(ddir), str(mdir), num_points_per_image=300,
+               num_features=32, max_probe_offset=60.0, min_samples=24,
+               max_tree_depth=7, seed=5)
+    assert (tree.forest.leafid < 0).sum() > 3
+    # accuracy on the training frames themselves must beat chance widely
+    total, correct = 0, 0
+    for k in range(4):
+        pred = tree.predict_best(depth_np[k])
+        fg = (mask_np[k] != 255) & (pred != 255)
+        total += fg.sum()
+        correct += (pred[fg] == mask_np[k][fg]).sum()
+    assert total > 500
+    assert correct / max(total, 1) > 0.3
+
+
 def test_train_transfer(model, trained):
     tree = RTree(24)
     tree.set_forest(trained.forest)
