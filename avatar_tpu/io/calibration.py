@@ -133,3 +133,25 @@ class CameraIntrin:
         x = (cols[None, :] - self.cx) * depth / self.fx
         y = (rows[:, None] - self.cy) * depth / self.fy
         return np.stack([x, y, depth], axis=-1)
+
+
+def intrin_from_xyz(xyz_map: np.ndarray) -> "CameraIntrin":
+    """Recover pinhole intrinsics from a recorded XYZ map by least squares
+    (reference getCameraIntrinFromXYZ, Util.cpp:137-174).
+
+    Solves  c*z = fx*x + cx*z  and  r*z = fy*y + cy*z  over all pixels.
+    Pixels with zero depth contribute zero rows (as in the reference,
+    where they only reinforce the trivial equation 0 = 0).
+    """
+    m = np.asarray(xyz_map, np.float64)
+    H, W = m.shape[:2]
+    cols, rows = np.meshgrid(np.arange(W), np.arange(H))
+    x = m[..., 0].ravel()
+    y = m[..., 1].ravel()
+    z = m[..., 2].ravel()
+    A = np.stack([x, z], axis=1)
+    fx, cx = np.linalg.lstsq(A, cols.ravel() * z, rcond=None)[0]
+    A[:, 0] = y
+    fy, cy = np.linalg.lstsq(A, rows.ravel() * z, rcond=None)[0]
+    return CameraIntrin(fx=float(fx), fy=float(fy),
+                        cx=float(cx), cy=float(cy))

@@ -130,6 +130,19 @@ def test_depth_to_xyz_matches_reference_convention():
         [(5 - 32.0) * 1.5 / 600.0, (10 - 24.0) * 1.5 / 590.0, 1.5], atol=1e-6)
 
 
+def test_intrin_from_xyz_recovers(rng):
+    from avatar_tpu.io.calibration import intrin_from_xyz
+
+    intr = CameraIntrin(fx=606.4, fy=590.2, cx=120.7, cy=80.3)
+    depth = (rng.uniform(0.5, 4.0, (160, 240))).astype(np.float32)
+    depth[rng.uniform(size=depth.shape) < 0.3] = 0.0  # holes
+    xyz = intr.depth_to_xyz_np(depth)
+    rec = intrin_from_xyz(xyz)
+    np.testing.assert_allclose(
+        [rec.fx, rec.fy, rec.cx, rec.cy],
+        [intr.fx, intr.fy, intr.cx, intr.cy], rtol=1e-4)
+
+
 def test_pose_sequence_roundtrip(tmp_path, rng):
     from avatar_tpu.core.sequence import AvatarPoseSequence
 
