@@ -106,15 +106,25 @@ def forest_walk(tree: TreeTensors, depth_img: jnp.ndarray, max_depth: int,
         pz = jnp.where(pz == 0.0, BACKGROUND_DEPTH, pz)
         return jnp.where(inside, pz, BACKGROUND_DEPTH)
 
+    # pack all per-node parameters into one [N, 8] row table so each walk
+    # step issues a single 32-byte row gather instead of six scalar gathers
+    # (int fields ride as bitcast f32 lanes)
+    as_f = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+    packed = jnp.concatenate(
+        [tree.u, tree.v, tree.thresh[:, None], as_f(tree.lnode)[:, None],
+         as_f(tree.rnode)[:, None], as_f(tree.leafid)[:, None]], axis=1)
+
     def step(_, node):
-        uu = tree.u[node]            # [Hs, Ws, 2]
-        vv = tree.v[node]
-        th = tree.thresh[node]
-        is_leaf = tree.leafid[node] >= 0
+        row = packed[node]           # [Hs, Ws, 8] one row gather
+        uu = row[..., 0:2]
+        vv = row[..., 2:4]
+        th = row[..., 4]
+        as_i = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+        is_leaf = as_i(row[..., 7]) >= 0
         u_off = jnp.round(uu / zsafe[..., None]).astype(jnp.int32)
         v_off = jnp.round(vv / zsafe[..., None]).astype(jnp.int32)
         f = probe(u_off) - probe(v_off)
-        nxt = jnp.where(f < th, tree.lnode[node], tree.rnode[node])
+        nxt = jnp.where(f < th, as_i(row[..., 5]), as_i(row[..., 6]))
         return jnp.where(is_leaf, node, nxt)
 
     node = jnp.zeros((Hs, Ws), jnp.int32)
