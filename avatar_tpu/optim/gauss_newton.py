@@ -354,9 +354,12 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
         rel = jnp.abs(cost - trial_cost) / jnp.maximum(cost, 1e-12)
         # converged only when the cost stagnates AND the correspondence
         # assignment is stable — cost stagnation alone also occurs at stale
-        # local optima that the next re-matching step would escape
+        # local optima that the next re-matching step would escape.  Stalls
+        # count whether the trial was accepted or rejected: at the optimum
+        # LM rejects every trial (cost is already minimal), which must
+        # terminate like Ceres' function_tolerance, not spin the full budget
         corr_stable = jnp.all(st.corr == corr_prev)
-        small = accept & (rel < function_tolerance) & corr_stable
+        small = (rel < function_tolerance) & corr_stable
         small_cnt_new = jnp.where(small, small_cnt + 1, 0)
         return (th_new, lam_new, it + 1,
                 accepted + accept.astype(jnp.int32), small_cnt_new,
