@@ -52,6 +52,101 @@ class CorrStats(NamedTuple):
     corr: jnp.ndarray     # [N] int32 model index per data point (-1 unmatched)
 
 
+class NNPlan(NamedTuple):
+    """Loop-invariant part-sorting plan for the ranged NN kernel.
+
+    Both clouds are sorted by part label so a data tile only has to scan the
+    model chunks covering its own labels.  Data labels are fixed for a whole
+    fit, so the plan is built once and reused by every LM step.
+    """
+    dpts: jnp.ndarray     # [N, 3] data sorted by part (padding rows first)
+    dpart: jnp.ndarray    # [N] sorted labels (< 0 = padding)
+    mperm: jnp.ndarray    # [Pp] original model index per sorted slot
+    mpart_s: jnp.ndarray  # [Pp] sorted model part (pad slots = big)
+    cstart: jnp.ndarray   # [N // tile_n] first model chunk per data tile
+    cend: jnp.ndarray     # [N // tile_n] one-past-last model chunk per tile
+    tile_n: int
+    chunk: int
+
+
+def make_nn_plan(data_pts: jnp.ndarray, data_part: jnp.ndarray,
+                 model_part: jnp.ndarray, num_parts: int,
+                 tile_n: int = 256, chunk: int = 512) -> NNPlan:
+    """Build the part-sorting plan (one argsort of each cloud's labels)."""
+    N = data_pts.shape[0]
+    P = model_part.shape[0]
+    assert N % tile_n == 0
+
+    order = jnp.argsort(data_part)
+    dpts = data_pts[order]
+    dpart = data_part[order]
+
+    mperm = jnp.argsort(model_part).astype(jnp.int32)
+    mpart_s = model_part[mperm].astype(jnp.int32)
+    pad = (-P) % chunk
+    if pad:
+        # pad slots point at vertex 0 but carry an unmatchable part label
+        mperm = jnp.concatenate([mperm, jnp.zeros((pad,), jnp.int32)])
+        mpart_s = jnp.concatenate(
+            [mpart_s, jnp.full((pad,), 2 ** 30, jnp.int32)])
+
+    # model part -> [start, end) offsets in the sorted axis
+    off = jnp.searchsorted(mpart_s[:P], jnp.arange(num_parts + 1)).astype(
+        jnp.int32)
+    T = N // tile_n
+    dps = dpart.reshape(T, tile_n)
+    p_lo = jnp.clip(dps[:, 0], 0, num_parts - 1)
+    p_hi = dps[:, -1]
+    p_hic = jnp.clip(p_hi, 0, num_parts - 1)
+    empty = p_hi < 0  # tile is all padding
+    cstart = jnp.where(empty, 0, off[p_lo] // chunk).astype(jnp.int32)
+    cend = jnp.where(empty, 0,
+                     (off[p_hic + 1] + chunk - 1) // chunk).astype(jnp.int32)
+    return NNPlan(dpts=dpts, dpart=dpart, mperm=mperm, mpart_s=mpart_s,
+                  cstart=cstart, cend=cend, tile_n=tile_n, chunk=chunk)
+
+
+def find_nn_stats_planned(plan: NNPlan, model_cloud: jnp.ndarray,
+                          visible: jnp.ndarray,
+                          with_stats: bool = False,
+                          interpret: bool = False) -> CorrStats:
+    """find_nn_stats over a prebuilt NNPlan (data already sorted by part).
+
+    Statistics come back in ORIGINAL model indexing; ``corr`` is aligned
+    with the plan's sorted data order.  The fit loop re-derives
+    robust-weighted statistics from ``corr`` itself, so the plain scatter
+    here is skipped unless ``with_stats``.
+    """
+    P = model_cloud.shape[0]
+    dtype = model_cloud.dtype
+    center = jnp.mean(model_cloud, axis=0)
+    xs = (model_cloud - center)[plan.mperm]          # sorted + recentered
+    vis_s = visible[plan.mperm]
+    dpts_c = plan.dpts - center
+
+    from avatar_tpu.optim.nn_pallas import nn_argmin_ranges
+
+    best_d, best_i = nn_argmin_ranges(
+        dpts_c, plan.dpart, xs, plan.mpart_s, vis_s,
+        plan.cstart, plan.cend, tile_n=plan.tile_n, chunk=plan.chunk,
+        interpret=interpret)
+
+    matched = (best_i >= 0) & (plan.dpart >= 0)
+    corr = jnp.where(matched, plan.mperm[jnp.maximum(best_i, 0)], -1)
+    wgt = matched.astype(dtype)
+    if with_stats:
+        idx = jnp.where(matched, corr, P)
+        cnt = jnp.zeros(P + 1, dtype).at[idx].add(wgt)[:P]
+        s = jnp.zeros((P + 1, 3), dtype).at[idx].add(
+            plan.dpts * wgt[:, None])[:P]
+        q = jnp.sum(jnp.sum(dpts_c * dpts_c, axis=-1) * wgt)
+    else:
+        cnt = jnp.zeros(P, dtype)
+        s = jnp.zeros((P, 3), dtype)
+        q = jnp.zeros((), dtype)
+    return CorrStats(cnt=cnt, s=s, q=q, n_matched=jnp.sum(wgt), corr=corr)
+
+
 def backface_visibility(cloud: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
     """[P] bool: vertex belongs to at least one front-facing triangle.
 

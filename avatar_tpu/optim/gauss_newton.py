@@ -134,8 +134,15 @@ def _icp_jacobian(ctx: FitContext, parents, theta: Theta, fwd):
     a = jnp.einsum("jk,pkc->pjc", ctx.anc_mask, c, precision=_HI)  # [P,J,3]
     b = jnp.einsum("pk,jk->pj", W, ctx.anc_mask, precision=_HI)    # [P,J]
     g = a - b[:, :, None] * tg[None, :, :]                        # [P,J,3]
-    Jrot = -rotation.skew(g)                # [P,J,3(resid),3(tangent)]
-    Jrot = jnp.moveaxis(Jrot, 1, 2).reshape(P, 3, 3 * J)
+    # -skew(g) assembled directly in [P, 3(resid), J, 3(tangent)] order:
+    # a moveaxis of the [P,J,3,3] skew stack is a 7 MB physical transpose
+    # (~0.35 ms/step on v5e); stacking rows on axis 1 keeps the layout
+    gx, gy, gz = g[..., 0], g[..., 1], g[..., 2]
+    zz = jnp.zeros_like(gx)
+    r0 = jnp.stack([zz, gz, -gy], axis=-1)                        # [P,J,3]
+    r1 = jnp.stack([-gz, zz, gx], axis=-1)
+    r2 = jnp.stack([gy, -gx, zz], axis=-1)
+    Jrot = jnp.stack([r0, r1, r2], axis=1).reshape(P, 3, 3 * J)
 
     # --- shape block: A_p D_p - W (Rg_k S_k - H_k) -------------------------
     S = ctx.lbs.joint_shape_reg                                   # [J,3,K]
@@ -225,7 +232,7 @@ def _retract(theta: Theta, delta: jnp.ndarray, Rg, parents) -> Theta:
 @functools.partial(
     jax.jit,
     static_argnames=("parents", "use_jsr", "n_steps", "enable_occlusion",
-                     "chunk", "robust"))
+                     "chunk", "robust", "num_parts"))
 def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
         data_part: jnp.ndarray, theta0: Theta, beta_pose: jnp.ndarray,
         beta_shape: jnp.ndarray, n_steps: int,
@@ -233,7 +240,8 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
         chunk: int = 512, robust: bool = True,
         plane_weight: jnp.ndarray | float = 0.0,
         point_weight: jnp.ndarray | float = 1.0,
-        function_tolerance: float = 1e-4) -> Tuple[Theta, FitDiag]:
+        function_tolerance: float = 1e-4,
+        num_parts: int = 0) -> Tuple[Theta, FitDiag]:
     """Full avatar fit (the reference's AvatarOptimizer::optimize) as one
     jitted program.
 
@@ -265,19 +273,49 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
         rots=rotation.quat_to_mat(rotation.mat_to_quat(theta0.rots)),
         w=theta0.w)
 
+    # Rest-pose surface normals, computed ONCE per fit.  Per LM step they
+    # are rotated by the per-point blended rotation A_p (already produced by
+    # the forward pass) instead of re-accumulating face normals: the three
+    # scatter-adds of _vertex_normals and the scatter-max of
+    # backface_visibility cost ~0.9 ms/step on a v5e, the rotation ~0.05 ms.
+    # Visibility becomes a normal test (vn_z below a small margin == faces
+    # the camera), matching the reference's front-face-incidence rule
+    # (AvatarOptimizer.cpp:1349-1387: front iff ((p2-p1)x(p1-p3)).z > 1e-4,
+    # i.e. accumulated CCW normal z < 0) up to silhouette-grazing vertices,
+    # which the margin keeps inclusive.
+    shaped0, _ = shape_fwd(ctx.lbs, theta0.w, use_jsr)
+    n_rest = _vertex_normals(shaped0, ctx.faces)
+    occ_margin = jnp.asarray(0.2, dtype)
+
+    # Part-sorted NN plan (loop-invariant): both clouds sorted by part label
+    # so each data tile of the Pallas kernel scans only the model chunks
+    # covering its own parts (~4-6x fewer columns at 24 parts).  Data labels
+    # never change within a fit, so one argsort amortizes over every step.
+    use_plan = (correspond._pallas_enabled()
+                and data_pts.shape[0] % 256 == 0)
+    if use_plan:
+        plan = correspond.make_nn_plan(
+            data_pts, data_part, ctx.model_part,
+            num_parts=num_parts or len(parents), tile_n=256, chunk=chunk)
+        data_pts = plan.dpts
+        data_part = plan.dpart
+
     def step(state):
-        theta, lam, it, accepted, small_cnt, _, _, corr_prev = state
-        fwd = _forward(ctx, parents, theta, use_jsr)
-        x = fwd[0]
-        Rg = fwd[3]
+        theta, fwd, lam, it, accepted, small_cnt, _, _, corr_prev = state
+        x, shaped, j_init, Rg, tg, A = fwd
+        vn = jnp.einsum("pab,pb->pa", A, n_rest, precision=_HI)
+        vn = vn / jnp.linalg.norm(vn, axis=-1, keepdims=True).clip(1e-12)
         if enable_occlusion:
-            vis = correspond.backface_visibility(x, ctx.faces)
+            vis = vn[:, 2] < occ_margin
         else:
             vis = jnp.ones(P, jnp.bool_)
         if ctx.cand_mask is not None:
             vis = vis & ctx.cand_mask
-        st = correspond.find_nn_stats(
-            data_pts, data_part, x, ctx.model_part, vis, chunk=chunk)
+        if use_plan:
+            st = correspond.find_nn_stats_planned(plan, x, vis)
+        else:
+            st = correspond.find_nn_stats(
+                data_pts, data_part, x, ctx.model_part, vis, chunk=chunk)
         valid = st.corr >= 0
         cidx = jnp.maximum(st.corr, 0)
 
@@ -292,14 +330,13 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
         else:
             wgt = valid.astype(dtype)
 
-        # weighted sufficient statistics
+        # weighted sufficient statistics (one fused scatter for cnt and s)
         idx = jnp.where(valid, cidx, P)
-        cnt = jnp.zeros(P + 1, dtype).at[idx].add(wgt)[:-1]
-        s = jnp.zeros((P + 1, 3), dtype).at[idx].add(
-            data_pts * wgt[:, None])[:-1]
-
-        # frozen surface normals for the optional point-to-plane term
-        vn = _vertex_normals(x, ctx.faces)
+        cs = jnp.zeros((P + 1, 4), dtype).at[idx].add(
+            jnp.concatenate([wgt[:, None], data_pts * wgt[:, None]],
+                            axis=1))[:-1]
+        cnt = cs[:, 0]
+        s = cs[:, 1:]
 
         n_matched = jnp.sum(valid.astype(dtype))
         scale = jnp.sqrt(jnp.maximum(n_matched, 1.0)) / 15.0
@@ -316,19 +353,22 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
         cost = total_cost(theta, x)
         Jm = _icp_jacobian(ctx, parents, theta, fwd)              # [P,3,D]
         rhs = cnt[:, None] * x - s                                # [P,3]
-        D = Jm.shape[2]
-        # weighted gram as one [D, 3P] x [3P, D] MXU matmul (the
-        # 'p,pci,pcj->ij' einsum form lowers ~10x slower on TPU)
-        Jw = (Jm * jnp.sqrt(jnp.maximum(cnt, 0.0))[:, None, None]).reshape(
-            -1, D)
-        JtJ = w_pt ** 2 * jnp.matmul(Jw.T, Jw, precision=_HI)
-        Jtr = w_pt ** 2 * jnp.matmul(Jm.reshape(-1, D).T, rhs.reshape(-1),
-                                     precision=_HI)
+        # weighted gram: contract (P, resid) of [P,3,D] x [P,3,D] in one
+        # dot_general — an explicit reshape + .T materializes two 7 MB
+        # layout copies per step (the 'p,pci,pcj->ij' einsum form is worse
+        # still, ~10x)
+        Jw = Jm * jnp.sqrt(jnp.maximum(cnt, 0.0))[:, None, None]
+        JtJ = w_pt ** 2 * jax.lax.dot_general(
+            Jw, Jw, (((0, 1), (0, 1)), ((), ())), precision=_HI)
+        Jtr = w_pt ** 2 * jax.lax.dot_general(
+            Jm, rhs, (((0, 1), (0, 1)), ((), ())), precision=_HI)
         Jpl = jnp.einsum("pc,pci->pi", vn, Jm, precision=_HI)     # [P,D]
         Jplw = Jpl * jnp.sqrt(jnp.maximum(cnt, 0.0))[:, None]
-        JtJ = JtJ + w_pl ** 2 * jnp.matmul(Jplw.T, Jplw, precision=_HI)
-        Jtr = Jtr + w_pl ** 2 * jnp.matmul(
-            Jpl.T, jnp.sum(vn * rhs, -1), precision=_HI)
+        JtJ = JtJ + w_pl ** 2 * jax.lax.dot_general(
+            Jplw, Jplw, (((0,), (0,)), ((), ())), precision=_HI)
+        Jtr = Jtr + w_pl ** 2 * jax.lax.dot_general(
+            Jpl, jnp.sum(vn * rhs, -1), (((0,), (0,)), ((), ())),
+            precision=_HI)
         pJtJ, pJtr = _prior_terms(ctx, parents, theta, Rg, bp, bs)
         JtJ = JtJ + pJtJ
         Jtr = Jtr + pJtr
@@ -343,12 +383,16 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
         cho = jax.scipy.linalg.cho_factor(M)
         delta = -jax.scipy.linalg.cho_solve(cho, Jtr)
         trial = _retract(theta, delta, Rg, parents)
-        trial_x = _forward(ctx, parents, trial, use_jsr)[0]
-        trial_cost = total_cost(trial, trial_x)
+        trial_fwd = _forward(ctx, parents, trial, use_jsr)
+        trial_cost = total_cost(trial, trial_fwd[0])
 
         accept = trial_cost < cost
         th_new = jax.tree.map(
             lambda a_, b_: jnp.where(accept, a_, b_), trial, theta)
+        # carry the accepted iterate's forward pass into the next step (the
+        # old loop re-ran _forward at the top of every step)
+        fwd_new = jax.tree.map(
+            lambda a_, b_: jnp.where(accept, a_, b_), trial_fwd, fwd)
         lam_new = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-7),
                             jnp.minimum(lam * 6.0, 1e6))
         rel = jnp.abs(cost - trial_cost) / jnp.maximum(cost, 1e-12)
@@ -361,19 +405,22 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
         corr_stable = jnp.all(st.corr == corr_prev)
         small = (rel < function_tolerance) & corr_stable
         small_cnt_new = jnp.where(small, small_cnt + 1, 0)
-        return (th_new, lam_new, it + 1,
+        return (th_new, fwd_new, lam_new, it + 1,
                 accepted + accept.astype(jnp.int32), small_cnt_new,
                 jnp.where(accept, trial_cost, cost), n_matched, st.corr)
 
     def cond(state):
-        _, _, it, _, small_cnt, _, _, _ = state
+        it = state[3]
+        small_cnt = state[5]
         return (it < n_steps) & (small_cnt < 2)
 
-    init = (theta0, jnp.asarray(1e-2, dtype), jnp.asarray(0, jnp.int32),
+    fwd0 = _forward(ctx, parents, theta0, use_jsr)
+    init = (theta0, fwd0, jnp.asarray(1e-2, dtype),
+            jnp.asarray(0, jnp.int32),
             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
             jnp.asarray(jnp.inf, dtype), jnp.asarray(0.0, dtype),
             jnp.full(data_pts.shape[0], -2, jnp.int32))
-    theta, lam, it, accepted, _, cost, n_matched, _ = jax.lax.while_loop(
+    theta, _, lam, it, accepted, _, cost, n_matched, _ = jax.lax.while_loop(
         cond, step, init)
     return theta, FitDiag(cost=cost, n_matched=n_matched,
                           inner_iters=accepted)

@@ -72,6 +72,96 @@ def _kernel(dpts_ref, dpart_ref, mpts_ref, mpart_ref, mvalid_ref,
     best_i_ref[:, :] = best_i
 
 
+def _kernel_ranges(cstart_ref, cend_ref, dpts_ref, dpart_ref, mpts_ref,
+                   mpart_ref, mvalid_ref, best_d_ref, best_i_ref, *,
+                   chunk: int):
+    """Like _kernel, but each data tile scans only the model chunks
+    [cstart[i], cend[i]) covering its part labels (both clouds sorted by
+    part on the host side) — at 24 parts this cuts the scanned columns
+    ~4-6x versus walking the whole model axis."""
+    TN = dpts_ref.shape[0]
+    i = pl.program_id(0)
+    c0 = cstart_ref[i]
+    c1 = cend_ref[i]
+
+    dx = dpts_ref[:, 0:1]
+    dy = dpts_ref[:, 1:2]
+    dz = dpts_ref[:, 2:3]
+    dpart = dpart_ref[:, 0:1]
+
+    def body(c, carry):
+        best_d, best_i = carry
+        mx = mpts_ref[0:1, pl.ds(c * chunk, chunk)]
+        my = mpts_ref[1:2, pl.ds(c * chunk, chunk)]
+        mz = mpts_ref[2:3, pl.ds(c * chunk, chunk)]
+        mp = mpart_ref[0:1, pl.ds(c * chunk, chunk)]
+        mv = mvalid_ref[0:1, pl.ds(c * chunk, chunk)]
+        d2 = ((dx - mx) ** 2 + (dy - my) ** 2 + (dz - mz) ** 2)
+        ok = (dpart == mp) & (mv > 0)
+        d2 = jnp.where(ok, d2, _INF)
+        cmin = jnp.min(d2, axis=1, keepdims=True)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (TN, chunk), 1) + c * chunk
+        cidx = jnp.min(jnp.where(d2 == cmin, idx, _BIG_IDX), axis=1,
+                       keepdims=True)
+        take = cmin < best_d
+        return (jnp.where(take, cmin, best_d),
+                jnp.where(take, cidx, best_i))
+
+    init = (jnp.full((TN, 1), _INF, jnp.float32),
+            jnp.full((TN, 1), -1, jnp.int32))
+    best_d, best_i = jax.lax.fori_loop(c0, c1, body, init)
+    best_i = jnp.where(best_d < _INF, best_i, -1)
+    best_d_ref[:, :] = best_d
+    best_i_ref[:, :] = best_i
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "chunk", "interpret"))
+def nn_argmin_ranges(data_pts, data_part, model_pts, model_part, model_valid,
+                     cstart, cend, tile_n: int = 256, chunk: int = 512,
+                     interpret: bool = False):
+    """Part-sorted masked NN: data_pts/data_part sorted by part label,
+    model_* sorted by part label; cstart/cend [N/tile_n] give the model
+    chunk range covering each data tile's labels (int32, scalar-prefetched).
+
+    interpret=True runs the kernel in the Pallas interpreter (CPU test path).
+    """
+    N = data_pts.shape[0]
+    Pp = model_pts.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(N // tile_n,),
+        in_specs=[
+            pl.BlockSpec((tile_n, 3), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, 1), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, Pp), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Pp), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Pp), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_n, 1), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, 1), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    out_d, out_i = pl.pallas_call(
+        functools.partial(_kernel_ranges, chunk=chunk),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((N, 1), jnp.float32),
+            jax.ShapeDtypeStruct((N, 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(cstart, cend, data_pts, data_part[:, None], model_pts.T,
+      model_part[None, :], model_valid[None, :].astype(jnp.int32))
+    return out_d[:, 0], out_i[:, 0]
+
+
 @functools.partial(jax.jit, static_argnames=("tile_n", "chunk"))
 def nn_argmin(data_pts, data_part, model_pts, model_part, model_valid,
               tile_n: int = 256, chunk: int = 1024):

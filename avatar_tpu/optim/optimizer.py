@@ -146,6 +146,7 @@ class AvatarOptimizer:
             robust=bool(self.robust),
             plane_weight=float(self.plane_weight),
             point_weight=float(self.point_weight),
+            num_parts=int(self.num_parts),
         )
         ava.p = np.asarray(theta.p, np.float64)
         ava.r = np.asarray(theta.rots, np.float64)

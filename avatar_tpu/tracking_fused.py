@@ -205,7 +205,8 @@ def fused_frame(ctx: FitContext, tree: Optional[TreeTensors],
             [parts, jnp.full((pad_n - N,), -1, jnp.int32)])
 
     theta, diag = fit(ctx, parents, pts, parts, theta0, beta_pose,
-                      beta_shape, n_steps=n_steps, use_jsr=use_jsr)
+                      beta_shape, n_steps=n_steps, use_jsr=use_jsr,
+                      num_parts=num_parts)
     return FrameOut(theta=theta, com_pre=com_new, n_points=n_points,
                     cost=diag.cost, labels_strided=labels_s)
 

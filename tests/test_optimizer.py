@@ -150,6 +150,51 @@ def test_find_nn_stats_vs_bruteforce(rng):
     assert int(stats.n_matched) == int(cnt.sum())
 
 
+def test_find_nn_stats_planned_matches_unsorted(rng):
+    # the part-sorted Pallas path (interpret mode on CPU) must agree with
+    # find_nn_stats up to the data reordering of the plan
+    P, N = 300, 512
+    num_parts = 6
+    model_cloud = rng.normal(size=(P, 3)).astype(np.float32)
+    model_part = rng.integers(0, num_parts, P).astype(np.int32)
+    visible = rng.random(P) < 0.7
+    data = rng.normal(size=(N, 3)).astype(np.float32)
+    data_part = np.full(N, -1, np.int32)
+    data_part[:400] = rng.integers(0, num_parts, 400)
+
+    ref = correspond.find_nn_stats(
+        jnp.asarray(data), jnp.asarray(data_part), jnp.asarray(model_cloud),
+        jnp.asarray(model_part), jnp.asarray(visible), chunk=64)
+
+    plan = correspond.make_nn_plan(
+        jnp.asarray(data), jnp.asarray(data_part), jnp.asarray(model_part),
+        num_parts=num_parts, tile_n=128, chunk=128)
+    got = correspond.find_nn_stats_planned(
+        plan, jnp.asarray(model_cloud), jnp.asarray(visible),
+        with_stats=True, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(got.cnt), np.asarray(ref.cnt),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.s), np.asarray(ref.s),
+                               atol=1e-4)
+    assert int(got.n_matched) == int(ref.n_matched)
+    # corr agrees after undoing the plan's data sort
+    order = np.argsort(data_part, kind="stable")
+    ref_sorted = np.asarray(ref.corr)[order]
+    got_corr = np.asarray(got.corr)
+    # ties in distance may resolve to a different (equidistant) vertex;
+    # require equal distances instead of equal indices
+    for n in range(N):
+        a, b = ref_sorted[n], got_corr[n]
+        if a == b:
+            continue
+        assert a >= 0 and b >= 0
+        dn = data[order][n]
+        da = ((model_cloud[a] - dn) ** 2).sum()
+        db = ((model_cloud[b] - dn) ** 2).sum()
+        np.testing.assert_allclose(da, db, rtol=1e-5)
+
+
 def test_fit_roundtrip(setup):
     """optim.cpp-style ground-truth round trip: perturb a posed avatar in the
     frame-to-frame tracking regime and fit it back to its own (subsampled)
