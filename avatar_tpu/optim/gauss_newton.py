@@ -232,7 +232,7 @@ def _retract(theta: Theta, delta: jnp.ndarray, Rg, parents) -> Theta:
 @functools.partial(
     jax.jit,
     static_argnames=("parents", "use_jsr", "n_steps", "enable_occlusion",
-                     "chunk", "robust", "num_parts"))
+                     "chunk", "robust", "num_parts", "robust_per_part"))
 def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
         data_part: jnp.ndarray, theta0: Theta, beta_pose: jnp.ndarray,
         beta_shape: jnp.ndarray, n_steps: int,
@@ -241,7 +241,9 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
         plane_weight: jnp.ndarray | float = 0.0,
         point_weight: jnp.ndarray | float = 1.0,
         function_tolerance: float = 1e-4,
-        num_parts: int = 0) -> Tuple[Theta, FitDiag]:
+        num_parts: int = 0,
+        huber_k: jnp.ndarray | float = 1.5,
+        robust_per_part: bool = False) -> Tuple[Theta, FitDiag]:
     """Full avatar fit (the reference's AvatarOptimizer::optimize) as one
     jitted program.
 
@@ -323,9 +325,23 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
         if robust:
             r0 = x[cidx] - data_pts
             dist = jnp.sqrt(jnp.sum(r0 * r0, -1) + 1e-12)
-            big = jnp.where(valid, dist, jnp.nan)
-            med = jnp.nan_to_num(jnp.nanmedian(big), nan=0.01)
-            delta_h = jnp.maximum(1.5 * med, 1e-3)
+            if robust_per_part:
+                # Per-part scale: a single global median downweights
+                # exactly the fast-moving extremities (their residuals sit
+                # in the global tail even when they are the part's norm),
+                # so hands/feet lag the data.  Group the scale by body part.
+                NP = num_parts or len(parents)
+                pidx = jnp.where(valid, jnp.clip(data_part, 0, NP - 1), NP)
+                acc = jnp.zeros((NP + 1, 2), dtype).at[pidx].add(
+                    jnp.stack([jnp.where(valid, dist, 0.0),
+                               valid.astype(dtype)], axis=1))
+                mean_p = acc[:NP, 0] / jnp.maximum(acc[:NP, 1], 1.0)
+                delta_h = jnp.maximum(
+                    huber_k * mean_p[jnp.clip(data_part, 0, NP - 1)], 1e-3)
+            else:
+                big = jnp.where(valid, dist, jnp.nan)
+                med = jnp.nan_to_num(jnp.nanmedian(big), nan=0.01)
+                delta_h = jnp.maximum(huber_k * med, 1e-3)
             wgt = jnp.where(valid, jnp.minimum(1.0, delta_h / dist), 0.0)
         else:
             wgt = valid.astype(dtype)

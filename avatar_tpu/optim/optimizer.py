@@ -48,6 +48,8 @@ class AvatarOptimizer:
         self.robust = True
         self.point_weight = 1.0
         self.plane_weight = 0.0
+        self.huber_k = 1.5
+        self.robust_per_part = False
 
         if part_map is None or len(part_map) == 0:
             part_map_arr = np.arange(model.num_joints(), dtype=np.int32)
@@ -147,6 +149,8 @@ class AvatarOptimizer:
             plane_weight=float(self.plane_weight),
             point_weight=float(self.point_weight),
             num_parts=int(self.num_parts),
+            huber_k=float(self.huber_k),
+            robust_per_part=bool(self.robust_per_part),
         )
         ava.p = np.asarray(theta.p, np.float64)
         ava.r = np.asarray(theta.rots, np.float64)

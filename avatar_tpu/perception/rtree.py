@@ -324,16 +324,29 @@ class RTree:
     predictBest = predict_best
 
     def predict(self, depth, interval: int = 1, top_left=None,
-                bot_right=None) -> np.ndarray:
+                bot_right=None, fill_in_gaps: bool = True) -> np.ndarray:
         """Full leaf distributions: [H, W, num_parts] f32 (zeros at
-        background), at stride `interval` (reference RTree.cpp:3156-3182)."""
+        background), always at FULL image resolution like predict_best
+        (reference RTree.cpp:3156-3182).  With interval > 1, stride gaps are
+        filled by repeating each cell's top-left sample (fill_in_gaps=True,
+        default) or left as zeros (False)."""
         depth = jnp.asarray(depth, jnp.float32)
         tl, br = self._roi(depth.shape, top_left, bot_right)
         leaf = forest_walk(self._tree, depth, self._max_depth, interval,
                            tl, br)
         dist = self._tree.leaf_data[jnp.maximum(leaf, 0)]
         dist = jnp.where((leaf >= 0)[..., None], dist, 0.0)
-        return np.asarray(dist)
+        if interval == 1:
+            return np.asarray(dist)
+        H, W = depth.shape
+        Hs, Ws = dist.shape[:2]
+        if fill_in_gaps:
+            full = jnp.repeat(jnp.repeat(dist, interval, 0), interval, 1)[
+                :H, :W]
+        else:
+            full = jnp.zeros((H, W, dist.shape[-1]), dist.dtype)
+            full = full.at[::interval, ::interval].set(dist[:Hs, :Ws])
+        return np.asarray(full)
 
     def post_process(self, image: np.ndarray, com_pre: np.ndarray,
                      interval: int = 1, num_threads: int = 0,

@@ -43,10 +43,6 @@ def main(argv=None):
             dist += t.predict(depth, interval=args.interval)
         fg = dist.sum(-1) > 0
         seg = np.where(fg, dist.argmax(-1), 255).astype(np.uint8)
-        if args.interval > 1:  # distributions live on the strided grid
-            seg = np.repeat(np.repeat(seg, args.interval, 0),
-                            args.interval, 1)[
-                : depth.shape[0], : depth.shape[1]]
     table = (palette_color_table(max(tree.num_parts, 17)) * 255).astype(
         np.uint8)
     vis = table[np.minimum(seg, tree.num_parts - 1)]

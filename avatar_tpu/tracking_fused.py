@@ -81,7 +81,7 @@ def _bg_subtract(xyz_s, bg_s, nn_t, nb_t, min_pts, cc_sub: int = 4):
     jax.jit,
     static_argnames=("parents", "seg_stride", "data_substride", "n_steps",
                      "num_parts", "max_depth", "use_forest", "use_bgsub",
-                     "use_jsr", "pad_n", "seg_window"))
+                     "use_jsr", "pad_n", "seg_window", "robust_per_part"))
 def fused_frame(ctx: FitContext, tree: Optional[TreeTensors],
                 parents: Tuple[int, ...], depth: jnp.ndarray,
                 labels_full: jnp.ndarray, bg_depth: jnp.ndarray,
@@ -91,7 +91,11 @@ def fused_frame(ctx: FitContext, tree: Optional[TreeTensors],
                 n_steps: int, num_parts: int, max_depth: int,
                 use_forest: bool, use_bgsub: bool, use_jsr: bool,
                 pad_n: int, seg_window=None,
-                conf_thresh: float = 0.0) -> FrameOut:
+                conf_thresh: float = 0.0,
+                point_weight: float = 1.0,
+                plane_weight: float = 0.0,
+                huber_k: float = 1.5,
+                robust_per_part: bool = False) -> FrameOut:
     """One tracked frame, fully on device.
 
     depth [H, W] f32 meters (or uint16 millimeters — converted here), so the
@@ -206,7 +210,9 @@ def fused_frame(ctx: FitContext, tree: Optional[TreeTensors],
 
     theta, diag = fit(ctx, parents, pts, parts, theta0, beta_pose,
                       beta_shape, n_steps=n_steps, use_jsr=use_jsr,
-                      num_parts=num_parts)
+                      num_parts=num_parts, point_weight=point_weight,
+                      plane_weight=plane_weight, huber_k=huber_k,
+                      robust_per_part=robust_per_part)
     return FrameOut(theta=theta, com_pre=com_new, n_points=n_points,
                     cost=diag.cost, labels_strided=labels_s)
 
@@ -331,7 +337,11 @@ class FusedTracker:
             use_bgsub=self._use_bgsub,
             use_jsr=self.model.use_joint_shape_regressor,
             pad_n=pad_n, seg_window=window,
-            conf_thresh=c.label_conf_thresh)
+            conf_thresh=c.label_conf_thresh,
+            point_weight=jnp.asarray(c.point_weight, self.model.dtype),
+            plane_weight=jnp.asarray(c.plane_weight, self.model.dtype),
+            huber_k=jnp.asarray(c.huber_k, self.model.dtype),
+            robust_per_part=c.robust_per_part)
 
     def track(self, frame, labels_override: Optional[np.ndarray] = None):
         """Track one frame.  ``frame`` is an XYZ map [H, W, 3], a float

@@ -58,11 +58,14 @@ class Samples(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
-def _feature_scores(depth, sx, sy, valid, fu, fv):
+def _feature_scores(depth, sx, sy, valid, fu, fv, node_local=None):
     """Depth-probe scores for every (sample, feature).
 
-    depth [B,H,W]; sx/sy/valid [B,S]; fu/fv [F,2] -> scores [B,S,F].
-    Probe semantics: getDepth with image bounds (RTree.cpp:40-68).
+    depth [B,H,W]; sx/sy/valid [B,S]; fu/fv either [F,2] (feature pool
+    shared by all nodes) or [NC,F,2] (per-node feature sets selected by the
+    TrainerV2 filter stage, gathered through node_local [B,S]) ->
+    scores [B,S,F].  Probe semantics: getDepth with image bounds
+    (RTree.cpp:40-68).
     """
     B, H, W = depth.shape
     flat = depth.reshape(B, H * W)
@@ -79,16 +82,26 @@ def _feature_scores(depth, sx, sy, valid, fu, fv):
         pz = jnp.where(pz == 0.0, BACKGROUND_DEPTH, pz)
         return jnp.where(inside, pz, BACKGROUND_DEPTH)
 
-    u_off = jnp.round(fu[None, None] / z[..., None, None]).astype(jnp.int32)
-    v_off = jnp.round(fv[None, None] / z[..., None, None]).astype(jnp.int32)
+    if fu.ndim == 3:
+        nl = jnp.clip(node_local, 0, fu.shape[0] - 1)          # [B,S]
+        fu_s = fu[nl]                                          # [B,S,F,2]
+        fv_s = fv[nl]
+    else:
+        fu_s = fu[None, None]
+        fv_s = fv[None, None]
+    u_off = jnp.round(fu_s / z[..., None, None]).astype(jnp.int32)
+    v_off = jnp.round(fv_s / z[..., None, None]).astype(jnp.int32)
     return probe(u_off) - probe(v_off)                          # [B,S,F]
 
 
 @functools.partial(jax.jit, static_argnames=("n_chunk",))
 def pass_minmax(depth, sx, sy, valid, node_local, fu, fv, n_chunk: int):
-    """Per (chunk-node, feature) score min/max for one image batch."""
-    F = fu.shape[0]
-    s = _feature_scores(depth, sx, sy, valid, fu, fv)           # [B,S,F]
+    """Per (chunk-node, feature) score min/max for one image batch.
+
+    fu/fv: [F,2] shared pool or [NC,F,2] per-node feature sets.
+    """
+    F = fu.shape[-2]
+    s = _feature_scores(depth, sx, sy, valid, fu, fv, node_local)  # [B,S,F]
     in_chunk = (node_local >= 0) & valid
     nl = jnp.where(in_chunk, node_local, n_chunk)
     idx = (nl[..., None] * F + jnp.arange(F)[None, None]).reshape(-1)
@@ -106,9 +119,12 @@ def pass_minmax(depth, sx, sy, valid, node_local, fu, fv, n_chunk: int):
                                              "n_parts"))
 def pass_counts(depth, sx, sy, part, valid, node_local, fu, fv, smin, smax,
                 n_chunk: int, n_buckets: int, n_parts: int):
-    """Histogram counts [n_chunk, F, n_buckets, n_parts] for one batch."""
-    F = fu.shape[0]
-    s = _feature_scores(depth, sx, sy, valid, fu, fv)           # [B,S,F]
+    """Histogram counts [n_chunk, F, n_buckets, n_parts] for one batch.
+
+    fu/fv: [F,2] shared pool or [NC,F,2] per-node feature sets.
+    """
+    F = fu.shape[-2]
+    s = _feature_scores(depth, sx, sy, valid, fu, fv, node_local)  # [B,S,F]
     in_chunk = (node_local >= 0) & valid
     nl = jnp.where(in_chunk, node_local, n_chunk)
     rng = smax - smin                                           # [NC,F]
@@ -331,13 +347,27 @@ class ForestTrainer:
                  image_batch: int = 16, node_chunk: int = 256,
                  seed: int = 0, verbose: bool = False,
                  checkpoint_path: str = "", mesh: Optional[object] = None,
-                 frame_source: Optional[FileFrameSource] = None):
+                 frame_source: Optional[FileFrameSource] = None,
+                 num_features_filtered: int = 0,
+                 filter_subsample: int = 4, filter_buckets: int = 8,
+                 feature_block: int = 256):
         self.model = model
         self.H, self.W = image_size
         self.num_parts = num_parts
         self.num_images = num_images
         self.S = num_points_per_image
         self.F = num_features
+        # TrainerV2's two-stage feature selection (RTree.cpp:1396-2335,
+        # proposal ~1455-1550; rtree-train.cpp:33-35): propose num_features,
+        # score them SPARSELY (every filter_subsample-th image batch,
+        # filter_buckets-bin histograms), keep the top num_features_filtered
+        # PER NODE, then dense-count only the survivors.  0 disables the
+        # filter stage (single-stage, shared pool).
+        self.F_filtered = (num_features_filtered
+                           if 0 < num_features_filtered < num_features else 0)
+        self.filter_subsample = max(filter_subsample, 1)
+        self.T_sparse = filter_buckets
+        self.Fb = feature_block
         self.max_probe = max_probe_offset
         self.min_samples = min_samples
         self.max_depth = max_tree_depth
@@ -496,6 +526,56 @@ class ForestTrainer:
         self.frontier = new_frontier
         self.frontier_depth = new_depths
 
+    def _filter_features(self, node_local_np, fu_pool, fv_pool,
+                         NC: int) -> np.ndarray:
+        """Sparse scoring pass: approximate info gain of every pool feature
+        on a subsample of image batches, returning the per-node indices of
+        the top F_filtered features (TrainerV2's filter,
+        RTree.cpp:1455-1550).
+
+        Memory is bounded by scoring the pool in feature blocks of self.Fb
+        with self.T_sparse histogram buckets.
+        """
+        F = fu_pool.shape[0]
+        Ff = self.F_filtered
+        Ts, P = self.T_sparse, self.num_parts
+        sub = self.filter_subsample
+        gains_pool = np.zeros((NC, F), np.float32)
+        batch_starts = list(range(0, self.num_images, self.B))[::sub]
+        big = np.float32(3e38)
+        for fb in range(0, F, self.Fb):
+            fu_b = jnp.asarray(fu_pool[fb:fb + self.Fb])
+            fv_b = jnp.asarray(fv_pool[fb:fb + self.Fb])
+            Fb = fu_b.shape[0]
+            smin = np.full((NC, Fb), big, np.float32)
+            smax = np.full((NC, Fb), -big, np.float32)
+            for start in batch_starts:
+                sl = slice(start, min(start + self.B, self.num_images))
+                mn, mx = pass_minmax(
+                    jnp.asarray(self._depth_cache[sl]),
+                    self.samples.x[sl], self.samples.y[sl],
+                    self.samples.valid[sl], jnp.asarray(node_local_np[sl]),
+                    fu_b, fv_b, NC)
+                smin = np.minimum(smin, np.asarray(mn)[:NC])
+                smax = np.maximum(smax, np.asarray(mx)[:NC])
+            counts = np.zeros((NC, Fb, Ts, P), np.float32)
+            smin_j = jnp.asarray(smin)
+            smax_j = jnp.asarray(smax)
+            for start in batch_starts:
+                sl = slice(start, min(start + self.B, self.num_images))
+                c = pass_counts(
+                    jnp.asarray(self._depth_cache[sl]),
+                    self.samples.x[sl], self.samples.y[sl],
+                    self.samples.part[sl], self.samples.valid[sl],
+                    jnp.asarray(node_local_np[sl]), fu_b, fv_b,
+                    smin_j, smax_j, NC, Ts, P)
+                counts += np.asarray(c)
+            g, _ = split_gains(jnp.asarray(counts))             # [NC,Fb,Ts-1]
+            gains_pool[:, fb:fb + Fb] = np.asarray(g).max(axis=2)
+        # top-Ff per node by sparse gain
+        top = np.argsort(-gains_pool, axis=1)[:, :Ff]           # [NC, Ff]
+        return top
+
     def _process_chunk(self, chunk, chunk_depths, new_frontier, new_depths):
         NC = len(chunk)
         F, T, P = self.F, self.T, self.num_parts
@@ -507,10 +587,20 @@ class ForestTrainer:
 
         # per-level random feature pool (V3 samples per node; a shared pool
         # per chunk is the tensor-friendly equivalent)
-        fu = self._rng.uniform(-self.max_probe, self.max_probe,
-                               (F, 2)).astype(np.float32)
-        fv = self._rng.uniform(-self.max_probe, self.max_probe,
-                               (F, 2)).astype(np.float32)
+        fu_pool = self._rng.uniform(-self.max_probe, self.max_probe,
+                                    (F, 2)).astype(np.float32)
+        fv_pool = self._rng.uniform(-self.max_probe, self.max_probe,
+                                    (F, 2)).astype(np.float32)
+
+        if self.F_filtered:
+            # --- TrainerV2 filter stage: sparse info-gain over the pool,
+            # top num_features_filtered survivors per node ---------------
+            top = self._filter_features(node_local_np, fu_pool, fv_pool, NC)
+            fu = fu_pool[top]                            # [NC, Ff, 2]
+            fv = fv_pool[top]
+            F = self.F_filtered
+        else:
+            fu, fv = fu_pool, fv_pool
         fu_j = jnp.asarray(fu)
         fv_j = jnp.asarray(fv)
 
@@ -568,9 +658,11 @@ class ForestTrainer:
             thresh = (smin[i, f_best] +
                       (smax[i, f_best] - smin[i, f_best]) *
                       (t_best + 1) / self.T)
-            l, r = self.tree.make_split(gid, fu[f_best], fv[f_best], thresh)
-            bu[gid] = fu[f_best]
-            bv[gid] = fv[f_best]
+            fu_i = fu[i, f_best] if fu.ndim == 3 else fu[f_best]
+            fv_i = fv[i, f_best] if fv.ndim == 3 else fv[f_best]
+            l, r = self.tree.make_split(gid, fu_i, fv_i, thresh)
+            bu[gid] = fu_i
+            bv[gid] = fv_i
             bt[gid] = thresh
             bl[gid] = l
             br[gid] = r
@@ -616,9 +708,20 @@ def train_from_avatar(rtree, avatar_model, pose_seq, intrin, image_size,
                       seed: int = 0) -> None:
     """Train rtree from synthetic renders (reference RTree.cpp:3292-3330).
 
-    Thread/memory arguments are accepted for parity and ignored (XLA manages
-    both).
+    num_features_filtered > 0 enables TrainerV2's two-stage feature
+    selection (sparse-score the num_features pool, dense-count only the
+    per-node top survivors; RTree.cpp:1396-2335).  Thread/memory arguments
+    (num_threads, max_images_loaded, mem_limit_mb) are accepted for CLI
+    parity and ignored: XLA schedules compute and the image cache is
+    device-resident by design.
     """
+    if max_images_loaded or mem_limit_mb:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "max_images_loaded/mem_limit_mb are ignored on TPU (the frame "
+            "cache is managed by XLA); got %s/%s",
+            max_images_loaded, mem_limit_mb)
     trainer = ForestTrainer(
         avatar_model, intrin, image_size, rtree.num_parts,
         part_map=part_map, pose_seq=pose_seq, num_images=num_images,
@@ -626,7 +729,8 @@ def train_from_avatar(rtree, avatar_model, pose_seq, intrin, image_size,
         max_probe_offset=max_probe_offset, min_samples=min_samples,
         max_tree_depth=max_tree_depth, n_buckets=threshes_per_feature,
         seed=seed, verbose=verbose,
-        checkpoint_path=train_partial_save_path)
+        checkpoint_path=train_partial_save_path,
+        num_features_filtered=num_features_filtered)
     fd = trainer.train(resume_from=train_partial_save_path)
     rtree.set_forest(fd)
     rtree.part_map = list(part_map) if part_map is not None else []
@@ -702,6 +806,7 @@ def train_from_files(rtree, depth_dir: str, part_mask_dir: str,
         num_features=num_features, max_probe_offset=max_probe_offset,
         min_samples=min_samples, max_tree_depth=max_tree_depth,
         n_buckets=threshes_per_feature, seed=seed, verbose=verbose,
-        checkpoint_path=train_partial_save_path, frame_source=src)
+        checkpoint_path=train_partial_save_path, frame_source=src,
+        num_features_filtered=num_features_filtered)
     fd = trainer.train(resume_from=train_partial_save_path)
     rtree.set_forest(fd)

@@ -97,6 +97,7 @@ def main():
           f"({model.num_points()} verts)...", file=sys.stderr)
     frames = []
     gts = []
+    gt_verts = []
     for t in range(n_frames):
         gt.update()
         rend = AvatarRenderer(gt, intrin)
@@ -106,6 +107,7 @@ def main():
         # uint16 millimeter depth: the cheapest camera-native upload format
         frames.append(((scene_d * 1000).astype(np.uint16), mask))
         gts.append(gt.joint_pos.copy())
+        gt_verts.append(gt.cloud.copy())
         wig = amp * np.sin(freq * (t + 1) + phase)
         step = np.asarray(rotation.so3_exp(jnp.asarray(wig, jnp.float32)))
         gt.r = np.einsum("jab,jbc->jac", step, base_r)
@@ -229,12 +231,19 @@ def main():
     from avatar_tpu.core.lbs import lbs as _lbs
 
     errs = []
+    vrms = []
     for i, th in enumerate(thetas):
-        _, joints, _, _ = _lbs(model.params, model.parents, th.w, th.p,
-                               th.rots)
+        verts, joints, _, _ = _lbs(model.params, model.parents, th.w, th.p,
+                                   th.rots)
         errs.append(np.linalg.norm(np.asarray(joints) - gts[i],
                                    axis=1).mean())
+        vrms.append(np.sqrt(np.mean(np.sum(
+            (np.asarray(verts) - gt_verts[i]) ** 2, axis=1))))
     joint_err_mm = float(np.mean(errs[1:]) * 1e3) if len(errs) > 1 else -1.0
+    # BASELINE.md acceptance metric: fitted-mesh vertex RMSE (vs the known
+    # ground-truth mesh — strictly harder than "vs the CPU reference's fit",
+    # which carries its own error against GT)
+    vertex_rmse_mm = float(np.mean(vrms[1:]) * 1e3) if len(vrms) > 1 else -1.0
 
     result = {
         "metric": "end_to_end_fps",
@@ -245,6 +254,7 @@ def main():
         "fit_device_ms": round(float(fit_device_ms), 3),
         "frame_ms": round(float(frame_ms.mean()), 3) if len(frame_ms) else 0,
         "joint_err_mm": round(joint_err_mm, 2),
+        "vertex_rmse_mm": round(vertex_rmse_mm, 2),
         "frames": n_frames,
         "tracked": tracked,
         "platform": jax.devices()[0].platform,
