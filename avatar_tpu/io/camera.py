@@ -255,9 +255,20 @@ class AzureKinectCamera(DepthCamera):
 
 
 class Freenect2Camera(DepthCamera):
-    """Kinect v2 backend via pylibfreenect2 (reference Freenect2Camera.cpp)."""
+    """Kinect v2 backend via pylibfreenect2.
 
-    def __init__(self, fps_cap: float = 30.0):
+    Mirrors reference Freenect2Camera.cpp:33-200: enumerate devices, pick
+    the best available packet pipeline (the reference tries CUDA -> OpenCL
+    -> OpenGL -> CPU; pylibfreenect2 exposes the same classes), listen to
+    synchronized depth (512x424) + color (1920x1080) streams, undistort and
+    register via libfreenect2's Registration, and back-project the
+    undistorted depth through the IR camera intrinsics into an XYZ map (the
+    same pinhole math Registration::getPointXYZ applies).
+    """
+
+    DEPTH_W, DEPTH_H = 512, 424
+
+    def __init__(self, fps_cap: float = 30.0, serial: Optional[str] = None):
         super().__init__(fps_cap)
         try:
             import pylibfreenect2  # noqa: F401
@@ -265,5 +276,76 @@ class Freenect2Camera(DepthCamera):
             raise RuntimeError(
                 "pylibfreenect2 is not installed; Kinect v2 capture "
                 "unavailable (reference gates behind WITH_FREENECT2)") from e
-        raise NotImplementedError(
-            "Freenect2 pipeline wiring requires hardware to validate")
+        from pylibfreenect2 import (Freenect2, FrameType,
+                                    SyncMultiFrameListener)
+        from pylibfreenect2 import Frame as F2Frame
+
+        self._fn = Freenect2()
+        if self._fn.enumerateDevices() == 0:
+            raise RuntimeError("no Kinect v2 device connected")
+        serial = serial or self._fn.getDeviceSerialNumber(0)
+        self._device = self._fn.openDevice(serial,
+                                           pipeline=self._make_pipeline())
+        self._listener = SyncMultiFrameListener(
+            FrameType.Color | FrameType.Depth)
+        self._device.setColorFrameListener(self._listener)
+        self._device.setIrAndDepthFrameListener(self._listener)
+        self._device.start()
+
+        from pylibfreenect2 import Registration
+
+        ir = self._device.getIrCameraParams()
+        self._registration = Registration(
+            ir, self._device.getColorCameraParams())
+        self._intrin = CameraIntrin(fx=float(ir.fx), fy=float(ir.fy),
+                                    cx=float(ir.cx), cy=float(ir.cy))
+        self._undistorted = F2Frame(self.DEPTH_W, self.DEPTH_H, 4)
+        self._registered = F2Frame(self.DEPTH_W, self.DEPTH_H, 4)
+
+    @staticmethod
+    def _make_pipeline():
+        """Best available packet pipeline, in the reference's preference
+        order (Freenect2Camera.cpp:33-47)."""
+        import pylibfreenect2 as f2
+
+        for name in ("CudaPacketPipeline", "OpenCLPacketPipeline",
+                     "OpenGLPacketPipeline", "CpuPacketPipeline"):
+            cls = getattr(f2, name, None)
+            if cls is None:
+                continue
+            try:
+                return cls()
+            except Exception:
+                continue
+        return None
+
+    def intrinsics(self) -> CameraIntrin:
+        return self._intrin
+
+    def image_size(self):
+        return (self.DEPTH_H, self.DEPTH_W)
+
+    def next_frame(self):
+        frames = self._listener.waitForNewFrame(milliseconds=1000)
+        if frames is None:
+            return None, None
+        try:
+            self._registration.apply(frames["color"], frames["depth"],
+                                     self._undistorted, self._registered)
+            depth = self._undistorted.asarray(np.float32).reshape(
+                self.DEPTH_H, self.DEPTH_W) * 1e-3  # mm -> m
+            xyz = self._intrin.depth_to_xyz_np(depth).astype(np.float32)
+            # registered color is BGRX at depth resolution
+            reg = self._registered.asarray(np.uint8).reshape(
+                self.DEPTH_H, self.DEPTH_W, 4)
+            rgb = reg[..., :3].copy()
+        finally:
+            self._listener.release(frames)
+        return xyz, rgb
+
+    def end_capture(self) -> None:
+        super().end_capture()
+        if getattr(self, "_device", None) is not None:
+            self._device.stop()
+            self._device.close()
+            self._device = None

@@ -94,6 +94,10 @@ class FitDiag(NamedTuple):
     cost: jnp.ndarray        # final cost
     n_matched: jnp.ndarray   # matches in last ICP iteration
     inner_iters: jnp.ndarray  # LM steps accepted (last ICP iteration)
+    # matched data points per body part in the final correspondence set
+    # (the reference prints these from findNN, AvatarOptimizer.cpp:946-949;
+    # starved parts are the first thing to check when tracking drifts)
+    part_counts: jnp.ndarray  # [num_parts] int32
 
 
 def _forward(ctx: FitContext, parents, theta: Theta, use_jsr: bool):
@@ -436,7 +440,11 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
             jnp.asarray(jnp.inf, dtype), jnp.asarray(0.0, dtype),
             jnp.full(data_pts.shape[0], -2, jnp.int32))
-    theta, _, lam, it, accepted, _, cost, n_matched, _ = jax.lax.while_loop(
-        cond, step, init)
+    (theta, _, lam, it, accepted, _, cost, n_matched,
+     corr_final) = jax.lax.while_loop(cond, step, init)
+    NP = num_parts or len(parents)
+    matched_f = corr_final >= 0
+    pidx = jnp.where(matched_f, jnp.clip(data_part, 0, NP - 1), NP)
+    part_counts = jnp.zeros(NP + 1, jnp.int32).at[pidx].add(1)[:NP]
     return theta, FitDiag(cost=cost, n_matched=n_matched,
-                          inner_iters=accepted)
+                          inner_iters=accepted, part_counts=part_counts)

@@ -157,4 +157,5 @@ class AvatarOptimizer:
         ava.w = np.asarray(theta.w, np.float64)
         ava.update()
         return dict(cost=float(diag.cost), n_matched=int(diag.n_matched),
-                    inner_iters=int(diag.inner_iters))
+                    inner_iters=int(diag.inner_iters),
+                    part_counts=np.asarray(diag.part_counts).tolist())

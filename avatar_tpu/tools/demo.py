@@ -49,7 +49,13 @@ def build_parser():
     ap.add_argument("--display", action="store_true")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--fused", action="store_true",
-                    help="use the fully fused on-device pipeline")
+                    help="use the fully fused on-device pipeline (note: its "
+                         "track_async throughput mode detects tracking loss "
+                         "one frame late by design; this tool uses the "
+                         "synchronous path)")
+    ap.add_argument("--metrics", default="",
+                    help="write per-frame metrics JSONL here (stage ms, "
+                         "per-part match counts, fit cost, reinit events)")
     add_model_args(ap)
     return ap
 
@@ -86,6 +92,8 @@ def main(argv=None):
         tracker = Tracker(model, ds.intrin, (H, W), rtree=rtree, config=cfg)
     if bg is not None:
         tracker.set_background(bg)
+    if args.metrics:
+        tracker.open_metrics(args.metrics)
 
     if args.out:
         os.makedirs(args.out, exist_ok=True)
@@ -114,6 +122,9 @@ def main(argv=None):
         n += 1
         if args.max_frames and n >= args.max_frames:
             break
+    if args.metrics:
+        tracker.close_metrics()
+        print(f"[demo] metrics written to {args.metrics}")
     print(tracker.timer.report())
 
 

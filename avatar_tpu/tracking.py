@@ -189,9 +189,42 @@ class Tracker:
         with self.timer.stage("optimize"):
             info = self.optimizer.optimize(pts, labels, icp_iters=icp_iters)
 
-        return TrackResult(ok=True, reinitialized=reinitialized,
-                           n_points=n_points, part_mask=part_mask,
-                           fit_info=info)
+        res = TrackResult(ok=True, reinitialized=reinitialized,
+                          n_points=n_points, part_mask=part_mask,
+                          fit_info=info)
+        self._log_metrics(res)
+        return res
+
+    # -- structured per-frame metrics (SURVEY §5.5) -------------------------
+
+    def open_metrics(self, path: str) -> None:
+        """Append one JSON line per tracked frame to ``path`` (frame index,
+        ok/reinit, matched counts incl. per part, fit cost, stage ms)."""
+        import json
+
+        self._metrics_file = open(path, "w")
+        self._metrics_json = json
+        self._metrics_frame = 0
+
+    def close_metrics(self) -> None:
+        f = getattr(self, "_metrics_file", None)
+        if f is not None:
+            f.close()
+            self._metrics_file = None
+
+    def _log_metrics(self, res) -> None:
+        f = getattr(self, "_metrics_file", None)
+        if f is None:
+            return
+        rec = dict(frame=self._metrics_frame, ok=res.ok,
+                   reinit=res.reinitialized, n_points=res.n_points)
+        if res.fit_info:
+            rec.update(res.fit_info)
+        for k, v in self.timer.stats.items():
+            if v:
+                rec[f"{k}_ms"] = round(v[-1], 3)
+        f.write(self._metrics_json.dumps(rec) + "\n")
+        self._metrics_frame += 1
 
     def render_overlay(self, rgb: Optional[np.ndarray] = None) -> np.ndarray:
         """Lambert-shaded avatar blended over RGB (demo.cpp:275-307)."""

@@ -42,6 +42,8 @@ class FrameOut(NamedTuple):
     n_points: jnp.ndarray    # matched stride samples (pre-fit foreground)
     cost: jnp.ndarray
     labels_strided: jnp.ndarray  # [Hs, Ws] uint8 (diagnostics / viz)
+    part_counts: jnp.ndarray     # [num_parts] matched data pts per part
+    n_matched: jnp.ndarray       # data points matched in the final NN set
 
 
 def _bg_subtract(xyz_s, bg_s, nn_t, nb_t, min_pts, cc_sub: int = 4):
@@ -214,7 +216,8 @@ def fused_frame(ctx: FitContext, tree: Optional[TreeTensors],
                       plane_weight=plane_weight, huber_k=huber_k,
                       robust_per_part=robust_per_part)
     return FrameOut(theta=theta, com_pre=com_new, n_points=n_points,
-                    cost=diag.cost, labels_strided=labels_s)
+                    cost=diag.cost, labels_strided=labels_s,
+                    part_counts=diag.part_counts, n_matched=diag.n_matched)
 
 
 class FusedTracker:
@@ -421,9 +424,11 @@ class FusedTracker:
 
         self._theta = out.theta
         self.com_pre = out.com_pre
-        return TrackResult(ok=True, reinitialized=reinitialized,
-                           n_points=n_points,
-                           fit_info=dict(cost=float(out.cost)))
+        res = TrackResult(ok=True, reinitialized=reinitialized,
+                          n_points=n_points,
+                          fit_info=self._fit_info(out))
+        self._log_metrics(res)
+        return res
 
     def track_async(self, frame, labels_override: Optional[np.ndarray] = None):
         """Throughput-mode tracking: dispatches this frame immediately
@@ -464,9 +469,12 @@ class FusedTracker:
         n_points = int(prev.n_points)              # prev has long finished
         if n_points < c.min_points / (c.data_interval ** 2):
             self.reinit = True
-            return TrackResult(ok=False, n_points=n_points)
-        return TrackResult(ok=True, n_points=n_points,
-                           fit_info=dict(cost=float(prev.cost)))
+            res = TrackResult(ok=False, n_points=n_points)
+        else:
+            res = TrackResult(ok=True, n_points=n_points,
+                              fit_info=self._fit_info(prev))
+        self._log_metrics(res)
+        return res
 
     def flush(self):
         """Resolve the in-flight frame from track_async (returns its
@@ -478,7 +486,45 @@ class FusedTracker:
         if prev is None:
             return None
         return TrackResult(ok=True, n_points=int(prev.n_points),
-                           fit_info=dict(cost=float(prev.cost)))
+                           fit_info=self._fit_info(prev))
+
+    @staticmethod
+    def _fit_info(out: FrameOut) -> dict:
+        return dict(cost=float(out.cost),
+                    n_matched=int(out.n_matched),
+                    part_counts=np.asarray(out.part_counts).tolist())
+
+    # -- structured per-frame metrics (SURVEY §5.5) -------------------------
+
+    def open_metrics(self, path: str) -> None:
+        """Start appending one JSON line per tracked frame to ``path``:
+        frame index, ok/reinit flags, matched point counts (total and per
+        part), fit cost, and the most recent stage wall times."""
+        import json
+
+        self._metrics_file = open(path, "w")
+        self._metrics_json = json
+        self._metrics_frame = 0
+
+    def close_metrics(self) -> None:
+        f = getattr(self, "_metrics_file", None)
+        if f is not None:
+            f.close()
+            self._metrics_file = None
+
+    def _log_metrics(self, res) -> None:
+        f = getattr(self, "_metrics_file", None)
+        if f is None:
+            return
+        rec = dict(frame=self._metrics_frame, ok=res.ok,
+                   reinit=res.reinitialized, n_points=res.n_points)
+        if res.fit_info:
+            rec.update(res.fit_info)
+        for k, v in self.timer.stats.items():
+            if v:
+                rec[f"{k}_ms"] = round(v[-1], 3)
+        f.write(self._metrics_json.dumps(rec) + "\n")
+        self._metrics_frame += 1
 
     def sync_avatar(self) -> Avatar:
         """Materialize the device-side pose into self.ava (host)."""

@@ -161,12 +161,23 @@ def main():
 
     # latency: synchronous per-frame wall time
     lat = []
+    pc = []
     for i in range(1, min(6, n_frames)):
         scene, mask = frames[i]
         t0 = time.perf_counter()
-        tracker.track(scene, labels_override=None if use_forest else mask)
+        res = tracker.track(scene,
+                            labels_override=None if use_forest else mask)
         lat.append(time.perf_counter() - t0)
+        if res.ok and res.fit_info and "part_counts" in res.fit_info:
+            pc.append(res.fit_info["part_counts"])
     latency_ms = float(np.mean(lat) * 1e3) if lat else 0.0
+    if pc:
+        # per-part correspondence diagnostics (starved parts = drift risk)
+        mean_pc = np.mean(np.asarray(pc), axis=0)
+        starved = np.argsort(mean_pc)[:6]
+        print("[bench] per-part match counts (mean, 6 lowest): " +
+              " ".join(f"p{p}={mean_pc[p]:.0f}" for p in starved),
+              file=sys.stderr)
 
     # throughput: pipelined pass (the driver metric); per-frame poses are
     # collected as device arrays and evaluated after the clock stops.  The

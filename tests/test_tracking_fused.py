@@ -102,3 +102,27 @@ def test_fused_loss_and_reinit(sequence):
     assert tracker.reinit
     res2 = tracker.track(depth, labels_override=mask)
     assert res2.ok and res2.reinitialized
+
+
+def test_metrics_jsonl_and_part_counts(sequence, tmp_path):
+    """Structured per-frame metrics (SURVEY §5.5): one JSON line per frame
+    with per-part correspondence counts and stage times."""
+    import json
+
+    model, frames = sequence
+    cfg = TrackerConfig(data_interval=4, min_points=200, iters_per_icp=4)
+    tracker = FusedTracker(model, INTRIN, (H, W), config=cfg)
+    path = str(tmp_path / "metrics.jsonl")
+    tracker.open_metrics(path)
+    for depth, mask, _ in frames[:3]:
+        res = tracker.track(depth, labels_override=mask)
+        assert res.ok
+        counts = res.fit_info["part_counts"]
+        assert len(counts) == tracker.num_parts
+        assert sum(counts) == res.fit_info["n_matched"] > 0
+    tracker.close_metrics()
+    lines = [json.loads(l) for l in open(path)]
+    assert len(lines) == 3
+    assert lines[0]["reinit"] and not lines[1]["reinit"]
+    assert "part_counts" in lines[1] and "cost" in lines[1]
+    assert any(k.endswith("_ms") for k in lines[1])
