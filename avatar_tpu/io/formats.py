@@ -294,3 +294,245 @@ def write_partmap(path: str, pm_type: int, src_names: List[str],
         f.write("dest %d\n%s\n" % (len(dest_names), " ".join(dest_names)))
         for s in src_names:
             f.write(f"{s} {mapping[s]}\n")
+
+
+# ---------------------------------------------------------------------------
+# Reference trainer checkpoint files (RTREE_V2 / RTREE_V3)
+# ---------------------------------------------------------------------------
+#
+# Byte-compatible codecs for the reference's resumable trainer state so a
+# reference training run can be inspected, converted to an .srtr, or handed
+# back to the reference (writer provided for V3, the production format).
+# Layouts from RTree.cpp: V3 writeSamples/readSamples (2649-2779), V2
+# (1964-2130); data sources AvatarDataSource.serialize (502-540) and
+# FileDataSource.serialize (392-420).  All fields little-endian;
+# size_t = u64, int = i32, pix = 2x i16, V3 sample label = u8.
+
+
+class RTreeV3State:
+    """Parsed RTREE_V3 checkpoint (mid-training V3 trainer state)."""
+
+    def __init__(self, num_parts, source, nodes, node_interval, leaf_data,
+                 sample_index, sample_pix, sample_label):
+        self.num_parts = num_parts
+        self.source = source          # dict: see _read_data_source
+        self.nodes = nodes            # ForestData (leaf_data attached)
+        self.node_interval = node_interval  # [N, 2] u64 sample ranges
+        self.leaf_data = leaf_data
+        self.sample_index = sample_index    # [S] i32 image ids
+        self.sample_pix = sample_pix        # [S, 2] i16 (x, y)
+        self.sample_label = sample_label    # [S] u8 part labels
+
+
+def _read_data_source(f) -> dict:
+    marker = f.read(8)
+    if marker == b"SRC_FILE":
+        n = int(np.frombuffer(f.read(8), "<u8")[0])
+        depth_dir = f.read(n).decode()
+        n2 = int(np.frombuffer(f.read(8), "<u8")[0])
+        # NOTE: the reference writes depthDir for BOTH fields
+        # (RTree.cpp:395-397, a bug we must reproduce to stay in sync)
+        mask_dir = f.read(n2).decode()
+        return dict(kind="file", depth_dir=depth_dir, mask_dir=mask_dir)
+    marker += f.read(2)
+    if marker != b"SRC_AVATAR":
+        raise ValueError(f"unknown data source marker {marker!r}")
+    sz = int(np.frombuffer(f.read(8), "<u8")[0])
+    if sz == 0xFFFFFFFFFFFFFFFF:  # new format: xorKey present
+        xor_key = int(np.frombuffer(f.read(4), "<u4")[0])
+        sz = int(np.frombuffer(f.read(8), "<u8")[0])
+    else:
+        xor_key = 0
+    seq = np.frombuffer(f.read(4 * sz), "<i4").copy()
+    return dict(kind="avatar", xor_key=xor_key, seq=seq)
+
+
+def _write_data_source(f, src: dict) -> None:
+    if src["kind"] == "file":
+        f.write(b"SRC_FILE")
+        d = src["depth_dir"].encode()
+        f.write(np.uint64(len(d)).tobytes())
+        f.write(d)
+        m = src["mask_dir"].encode()
+        f.write(np.uint64(len(m)).tobytes())
+        # reproduce the reference's bug of writing depthDir twice, padded /
+        # truncated to the recorded mask length so the stream stays aligned
+        f.write((d + b"\0" * len(m))[: len(m)])
+        return
+    f.write(b"SRC_AVATAR")
+    f.write(np.uint64(0xFFFFFFFFFFFFFFFF).tobytes())
+    f.write(np.uint32(src.get("xor_key", 0)).tobytes())
+    seq = np.asarray(src.get("seq", []), "<i4")
+    f.write(np.uint64(len(seq)).tobytes())
+    f.write(seq.tobytes())
+
+
+def _read_node_block(f, n: int):
+    raw = np.frombuffer(f.read(32 * n), np.uint8).reshape(n, 32)
+    fl = raw[:, :20].copy().view("<f4").reshape(n, 5)
+    ints = raw[:, 20:].copy().view("<i4").reshape(n, 3)
+    return (fl[:, 0:2].copy(), fl[:, 2:4].copy(), fl[:, 4].copy(),
+            ints[:, 0].copy(), ints[:, 1].copy(), ints[:, 2].copy())
+
+
+def _write_node_block(f, fd: ForestData) -> None:
+    n = fd.num_nodes
+    raw = np.zeros((n, 32), np.uint8)
+    fl = np.concatenate([np.asarray(fd.u, "<f4").reshape(n, 2),
+                         np.asarray(fd.v, "<f4").reshape(n, 2),
+                         np.asarray(fd.thresh, "<f4").reshape(n, 1)], axis=1)
+    raw[:, :20] = fl.view(np.uint8).reshape(n, 20)
+    ints = np.stack([np.asarray(fd.lnode, "<i4"), np.asarray(fd.rnode, "<i4"),
+                     np.asarray(fd.leafid, "<i4")], axis=1)
+    raw[:, 20:] = ints.view(np.uint8).reshape(n, 12)
+    f.write(raw.tobytes())
+
+
+def read_rtree_v3(path: str) -> RTreeV3State:
+    """Read a reference RTREE_V3 trainer checkpoint (RTree.cpp:2704-2779)."""
+    with open(path, "rb") as f:
+        if f.read(9) != b"RTREE_V3 ":
+            raise ValueError(f"{path}: not an RTREE_V3 checkpoint")
+        num_parts = int(np.frombuffer(f.read(4), "<i4")[0])
+        source = _read_data_source(f)
+        if f.read(2) != b"N\n":
+            raise ValueError(f"{path}: corrupted N section")
+        n = int(np.frombuffer(f.read(8), "<u8")[0])
+        u, v, thresh, lnode, rnode, leafid = _read_node_block(f, n)
+        node_interval = np.frombuffer(f.read(16 * n), "<u8").reshape(
+            n, 2).copy()
+        nleaf = int(np.frombuffer(f.read(8), "<u8")[0])
+        leaf_data = np.frombuffer(f.read(4 * nleaf * num_parts),
+                                  "<f4").reshape(nleaf, num_parts).copy()
+        if f.read(2) != b"S\n":
+            raise ValueError(f"{path}: corrupted S section")
+        ns = int(np.frombuffer(f.read(8), "<u8")[0])
+        raw = np.frombuffer(f.read(9 * ns), np.uint8).reshape(ns, 9)
+        sample_index = raw[:, 0:4].copy().view("<i4").reshape(ns)
+        sample_label = raw[:, 4].copy()
+        sample_pix = raw[:, 5:9].copy().view("<i2").reshape(ns, 2)
+        if f.read(2) != b"E\n":
+            raise ValueError(f"{path}: end marker not found")
+    fd = ForestData(u, v, thresh, lnode, rnode, leafid, leaf_data, num_parts)
+    return RTreeV3State(num_parts, source, fd, node_interval, leaf_data,
+                        sample_index, sample_pix, sample_label)
+
+
+def write_rtree_v3(path: str, state: RTreeV3State) -> None:
+    """Write an RTREE_V3 checkpoint the reference trainer can resume
+    (atomic .partial + rename, like RTree.cpp:2649-2702)."""
+    tmp = path + ".partial"
+    with open(tmp, "wb") as f:
+        f.write(b"RTREE_V3 ")
+        f.write(np.int32(state.num_parts).tobytes())
+        _write_data_source(f, state.source)
+        f.write(b"N\n")
+        n = state.nodes.num_nodes
+        f.write(np.uint64(n).tobytes())
+        _write_node_block(f, state.nodes)
+        f.write(np.asarray(state.node_interval, "<u8").tobytes())
+        f.write(np.uint64(len(state.leaf_data)).tobytes())
+        f.write(np.asarray(state.leaf_data, "<f4").tobytes())
+        f.write(b"S\n")
+        ns = len(state.sample_index)
+        f.write(np.uint64(ns).tobytes())
+        raw = np.zeros((ns, 9), np.uint8)
+        raw[:, 0:4] = np.asarray(state.sample_index, "<i4").view(
+            np.uint8).reshape(ns, 4)
+        raw[:, 4] = np.asarray(state.sample_label, np.uint8)
+        raw[:, 5:9] = np.asarray(state.sample_pix, "<i2").view(
+            np.uint8).reshape(ns, 4)
+        f.write(raw.tobytes())
+        f.write(b"E\n")
+    os.replace(tmp, path)
+
+
+class RTreeV2State:
+    """Parsed RTREE_V2 checkpoint (breadth-first V2 trainer state)."""
+
+    def __init__(self, num_parts, source, need_init, depth, curr_start_node,
+                 sparse, assigned_node, nodes, leaf_data,
+                 sample_index, sample_pix):
+        self.num_parts = num_parts
+        self.source = source
+        self.need_init = need_init
+        self.depth = depth
+        self.curr_start_node = curr_start_node
+        self.sparse = sparse              # list of u64 arrays
+        self.assigned_node = assigned_node  # [S] i32
+        self.nodes = nodes                # ForestData
+        self.leaf_data = leaf_data
+        self.sample_index = sample_index
+        self.sample_pix = sample_pix
+
+
+def read_rtree_v2(path: str) -> RTreeV2State:
+    """Read a reference RTREE_V2 trainer checkpoint (RTree.cpp:2025-2130)."""
+    with open(path, "rb") as f:
+        if f.read(9) != b"RTREE_V2 ":
+            raise ValueError(f"{path}: not an RTREE_V2 checkpoint")
+        num_parts = int(np.frombuffer(f.read(4), "<i4")[0])
+        source = _read_data_source(f)
+        need_init = bool(f.read(1)[0])
+        depth = int(np.frombuffer(f.read(4), "<i4")[0])
+        curr_start = int(np.frombuffer(f.read(4), "<i4")[0])
+        nsp = int(np.frombuffer(f.read(8), "<u8")[0])
+        sparse = []
+        for _ in range(nsp):
+            m = int(np.frombuffer(f.read(8), "<u8")[0])
+            sparse.append(np.frombuffer(f.read(8 * m), "<u8").copy())
+        na = int(np.frombuffer(f.read(8), "<u8")[0])
+        assigned = np.frombuffer(f.read(4 * na), "<i4").copy()
+        n = int(np.frombuffer(f.read(8), "<u8")[0])
+        u, v, thresh, lnode, rnode, leafid = _read_node_block(f, n)
+        nleaf = int(np.frombuffer(f.read(8), "<u8")[0])
+        leaf_data = np.frombuffer(f.read(4 * nleaf * num_parts),
+                                  "<f4").reshape(nleaf, num_parts).copy()
+        if f.read(2) != b"S\n":
+            raise ValueError(f"{path}: corrupted S section")
+        ns_total = int(np.frombuffer(f.read(8), "<u8")[0])
+        idxs, pixs = [], []
+        read_total = 0
+        while read_total < ns_total:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            img_index, img_samps = np.frombuffer(hdr, "<i4")
+            if img_samps < 0:
+                break
+            pix = np.frombuffer(f.read(4 * img_samps), "<i2").reshape(
+                img_samps, 2).copy()
+            idxs.append(np.full(img_samps, img_index, np.int32))
+            pixs.append(pix)
+            read_total += int(img_samps)
+        sample_index = (np.concatenate(idxs) if idxs
+                        else np.zeros(0, np.int32))
+        sample_pix = (np.concatenate(pixs) if pixs
+                      else np.zeros((0, 2), np.int16))
+    fd = ForestData(u, v, thresh, lnode, rnode, leafid, leaf_data, num_parts)
+    return RTreeV2State(num_parts, source, need_init, depth, curr_start,
+                        sparse, assigned, fd, leaf_data, sample_index,
+                        sample_pix)
+
+
+def trainer_checkpoint_to_forest(state) -> ForestData:
+    """Convert a (possibly mid-training) V2/V3 checkpoint into a usable
+    forest: frontier nodes that have neither children nor a leaf id get
+    uniform leaf distributions so the tree remains walkable."""
+    fd = state.nodes
+    leafid = np.asarray(fd.leafid, np.int32).copy()
+    leaf_data = np.asarray(state.leaf_data, np.float32)
+    if leaf_data.size == 0:
+        leaf_data = leaf_data.reshape(0, state.num_parts)
+    extra = []
+    next_leaf = len(leaf_data)
+    for i in range(fd.num_nodes):
+        if leafid[i] < 0 and fd.lnode[i] < 0 and fd.rnode[i] < 0:
+            extra.append(np.full(state.num_parts, 1.0 / state.num_parts,
+                                 np.float32))
+            leafid[i] = next_leaf
+            next_leaf += 1
+    if extra:
+        leaf_data = np.concatenate([leaf_data, np.stack(extra)])
+    return ForestData(fd.u, fd.v, fd.thresh, fd.lnode, fd.rnode, leafid,
+                      leaf_data, state.num_parts)

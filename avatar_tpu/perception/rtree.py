@@ -264,6 +264,23 @@ class RTree:
 
     loadFile = load_file
 
+    def load_trainer_checkpoint(self, path: str):
+        """Load a reference RTREE_V2/V3 resumable trainer checkpoint
+        (RTree.cpp:1964-2130, 2649-2779) as a usable forest.  Frontier
+        nodes not yet split get uniform leaf distributions.  Returns the
+        parsed state (data source, sample lists, level info) for
+        inspection or conversion."""
+        with open(path, "rb") as f:
+            head = f.read(9)
+        if head == b"RTREE_V3 ":
+            state = formats.read_rtree_v3(path)
+        elif head == b"RTREE_V2 ":
+            state = formats.read_rtree_v2(path)
+        else:
+            raise ValueError(f"{path}: not an RTREE_V2/V3 checkpoint")
+        self.set_forest(formats.trainer_checkpoint_to_forest(state))
+        return state
+
     def export_file(self, path: str) -> bool:
         formats.write_srtr(path, self.forest)
         return True

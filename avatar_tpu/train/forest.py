@@ -421,7 +421,7 @@ class ForestTrainer:
             if self.verbose and (start // self.B) % 8 == 0:
                 print(f"[forest] rendered {start + len(ids)}"
                       f"/{self.num_images} images")
-        self._depth_cache = np.concatenate(self._depth_cache, axis=0)
+        self._set_depth_cache(np.concatenate(self._depth_cache, axis=0))
         self.samples = Samples(
             x=jnp.asarray(np.stack(xs)), y=jnp.asarray(np.stack(ys)),
             part=jnp.asarray(np.stack(ps)), valid=jnp.asarray(np.stack(vs)))
@@ -502,6 +502,20 @@ class ForestTrainer:
         print("[forest] SIGINT: saving checkpoint after this level...")
         self._panic = True
 
+    def _set_depth_cache(self, cache_np: np.ndarray) -> None:
+        """Pin the rendered frame cache in device HBM when it fits.
+
+        Every level makes O(features/feature_block * batches) scoring calls
+        over the same frames; host-resident frames would re-upload ~30 MB
+        per call (catastrophic over a remote-tunnel link).  The reference's
+        analogue is V3 keeping all frames in RAM as SparseImages
+        (RTree.cpp:2941) — HBM plays that role here.
+        """
+        if cache_np.nbytes <= 6 << 30:
+            self._depth_cache = jnp.asarray(cache_np)
+        else:  # fall back to host memory + per-call upload
+            self._depth_cache = cache_np
+
     def _rebuild_depth_cache(self):
         caches = []
         for start in range(0, self.num_images, self.B):
@@ -509,7 +523,7 @@ class ForestTrainer:
             ids_pad = np.pad(ids, (0, self.B - len(ids)), mode="edge")
             depth, _ = self._render_batch(ids_pad)
             caches.append(np.asarray(depth)[: len(ids)])
-        self._depth_cache = np.concatenate(caches, axis=0)
+        self._set_depth_cache(np.concatenate(caches, axis=0))
 
     def _train_level(self):
         frontier = self.frontier

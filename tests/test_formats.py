@@ -160,3 +160,120 @@ def test_pose_sequence_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(frame[3:7], q[3, 0], atol=1e-12)
     seq.preload()
     np.testing.assert_allclose(seq.get_frame(7)[:3], pos[7], atol=1e-12)
+
+
+def test_rtree_v3_checkpoint_round_trip(tmp_path):
+    """Byte-level round trip of the reference RTREE_V3 trainer checkpoint
+    (RTree.cpp:2649-2779)."""
+    from avatar_tpu.io.formats import (ForestData, RTreeV3State,
+                                       read_rtree_v3, write_rtree_v3,
+                                       trainer_checkpoint_to_forest)
+
+    rng = np.random.default_rng(3)
+    n, P = 7, 5
+    fd = ForestData(
+        rng.normal(size=(n, 2)).astype(np.float32),
+        rng.normal(size=(n, 2)).astype(np.float32),
+        rng.normal(size=n).astype(np.float32),
+        np.array([1, 3, -1, 5, -1, -1, -1], np.int32),
+        np.array([2, 4, -1, 6, -1, -1, -1], np.int32),
+        np.array([-1, -1, 0, -1, 1, -1, -1], np.int32),
+        rng.dirichlet(np.ones(P), size=2).astype(np.float32), P)
+    ns = 11
+    st = RTreeV3State(
+        num_parts=P,
+        source=dict(kind="avatar", xor_key=12345,
+                    seq=np.arange(6, dtype=np.int32)),
+        nodes=fd, node_interval=rng.integers(0, 100, (n, 2)).astype(np.uint64),
+        leaf_data=fd.leaf_data,
+        sample_index=rng.integers(0, 6, ns).astype(np.int32),
+        sample_pix=rng.integers(0, 128, (ns, 2)).astype(np.int16),
+        sample_label=rng.integers(0, P, ns).astype(np.uint8))
+    path = str(tmp_path / "ckpt.rtree_v3")
+    write_rtree_v3(path, st)
+    # marker exactly as the C++ reader expects
+    assert open(path, "rb").read(9) == b"RTREE_V3 "
+    back = read_rtree_v3(path)
+    assert back.num_parts == P
+    assert back.source["xor_key"] == 12345
+    np.testing.assert_array_equal(back.source["seq"], st.source["seq"])
+    np.testing.assert_allclose(back.nodes.u, fd.u)
+    np.testing.assert_allclose(back.nodes.thresh, fd.thresh)
+    np.testing.assert_array_equal(back.nodes.leafid, fd.leafid)
+    np.testing.assert_array_equal(back.node_interval, st.node_interval)
+    np.testing.assert_array_equal(back.sample_index, st.sample_index)
+    np.testing.assert_array_equal(back.sample_pix, st.sample_pix)
+    np.testing.assert_array_equal(back.sample_label, st.sample_label)
+    # conversion: frontier nodes (5, 6) get uniform leaves; tree walkable
+    conv = trainer_checkpoint_to_forest(back)
+    assert (conv.leafid >= 0).sum() == 4
+    np.testing.assert_allclose(conv.leaf_data.sum(1), 1.0, atol=1e-5)
+
+
+def test_rtree_v2_checkpoint_reader(tmp_path):
+    """Parse a V2 checkpoint built byte-for-byte like the C++ writer
+    (RTree.cpp:1964-2022)."""
+    import struct
+
+    from avatar_tpu.io.formats import read_rtree_v2
+
+    P = 3
+    buf = b"RTREE_V2 " + struct.pack("<i", P)
+    # AvatarDataSource: marker, sentinel, xorKey, seq
+    buf += b"SRC_AVATAR" + struct.pack("<Q", 0xFFFFFFFFFFFFFFFF)
+    buf += struct.pack("<I", 777) + struct.pack("<Q", 2)
+    buf += struct.pack("<ii", 4, 9)
+    buf += struct.pack("<?", True)          # needInitTraining
+    buf += struct.pack("<ii", 12, 1)        # depth, currStartNode
+    buf += struct.pack("<Q", 1) + struct.pack("<Q", 2)  # sparse: 1 list of 2
+    buf += struct.pack("<QQ", 10, 20)
+    buf += struct.pack("<Q", 2) + struct.pack("<ii", 0, 1)  # assignedNode
+    # one node
+    buf += struct.pack("<Q", 1)
+    buf += struct.pack("<fffff", 1.0, 2.0, 3.0, 4.0, 0.5)
+    buf += struct.pack("<iii", -1, -1, 0)
+    # one leaf
+    buf += struct.pack("<Q", 1) + struct.pack("<fff", 0.2, 0.3, 0.5)
+    # samples grouped by image: 3 total; img 0 has 2, img 1 has 1
+    buf += b"S\n" + struct.pack("<Q", 3)
+    buf += struct.pack("<ii", 0, 2) + struct.pack("<hhhh", 1, 2, 3, 4)
+    buf += struct.pack("<ii", 1, 1) + struct.pack("<hh", 5, 6)
+    path = tmp_path / "ckpt.rtree_v2"
+    path.write_bytes(buf)
+    st = read_rtree_v2(str(path))
+    assert st.num_parts == P and st.need_init and st.depth == 12
+    assert st.source["xor_key"] == 777
+    np.testing.assert_array_equal(st.source["seq"], [4, 9])
+    assert len(st.sparse) == 1
+    np.testing.assert_array_equal(st.sparse[0], [10, 20])
+    np.testing.assert_array_equal(st.assigned_node, [0, 1])
+    assert st.nodes.num_nodes == 1 and st.nodes.leafid[0] == 0
+    np.testing.assert_allclose(st.leaf_data[0], [0.2, 0.3, 0.5])
+    np.testing.assert_array_equal(st.sample_index, [0, 0, 1])
+    np.testing.assert_array_equal(st.sample_pix, [[1, 2], [3, 4], [5, 6]])
+
+
+def test_rtree_loads_trainer_checkpoint(tmp_path):
+    from avatar_tpu.io.formats import (ForestData, RTreeV3State,
+                                       write_rtree_v3)
+    from avatar_tpu.perception.rtree import RTree
+
+    P = 4
+    fd = ForestData(
+        np.zeros((3, 2), np.float32), np.ones((3, 2), np.float32),
+        np.zeros(3, np.float32),
+        np.array([1, -1, -1], np.int32), np.array([2, -1, -1], np.int32),
+        np.array([-1, 0, -1], np.int32),
+        np.full((1, P), 0.25, np.float32), P)
+    st = RTreeV3State(P, dict(kind="avatar", xor_key=1,
+                              seq=np.zeros(1, np.int32)),
+                      fd, np.zeros((3, 2), np.uint64), fd.leaf_data,
+                      np.zeros(0, np.int32), np.zeros((0, 2), np.int16),
+                      np.zeros(0, np.uint8))
+    path = str(tmp_path / "c.rtree_v3")
+    write_rtree_v3(path, st)
+    tree = RTree(P)
+    state = tree.load_trainer_checkpoint(path)
+    assert state.num_parts == P
+    assert tree.forest.num_nodes == 3
+    assert (tree.forest.leafid >= 0).sum() == 2  # node 2 got a uniform leaf
