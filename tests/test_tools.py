@@ -118,3 +118,19 @@ def test_demo_tool_over_synthetic_dataset(tmp_path):
     # and the tracking path (no --rtree-only)
     demo.main([ds, tree, "-p", "8", "-i", "0", "--synthetic-model", "1",
                "-I", "6", "-M", "100", "--max-frames", "2"])
+
+
+def test_face_landmark_tracking(tmp_path, capsys):
+    """Face tracking prototype: heuristic detector + grouped feature
+    trackers + state machine run over a synthetic recorded dataset."""
+    from avatar_tpu.tools import data_recording, face_landmark_tracking
+
+    out = str(tmp_path / "rec")
+    data_recording.main([out, "--camera", "synthetic", "--frames", "4",
+                         "--fps", "0"])
+    face_landmark_tracking.main([out, "--max-frames", "4"])
+    printed = capsys.readouterr().out
+    lines = [l for l in printed.splitlines() if l.startswith("frame")]
+    assert len(lines) >= 4
+    # the synthetic avatar's head is found and feature boxes are produced
+    assert any("nose=" in l and "mouth=" in l for l in lines)
