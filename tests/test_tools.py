@@ -134,3 +134,33 @@ def test_face_landmark_tracking(tmp_path, capsys):
     assert len(lines) >= 4
     # the synthetic avatar's head is found and feature boxes are produced
     assert any("nose=" in l and "mouth=" in l for l in lines)
+
+
+def test_smpl_viewer_interactive(tmp_path):
+    """Interactive slider viewer: drive its state programmatically (set a
+    joint pose and a shape key, re-render) and save a headless snapshot."""
+    from avatar_tpu.tools import smpl_viewer
+
+    out = str(tmp_path / "iview.png")
+    smpl_viewer.main(["-o", out, "--synthetic-model", "1", "--interactive",
+                      "--size", "96x96", "--lbs-weights-of", "4"])
+    assert os.path.exists(out)
+
+    from avatar_tpu.core.model import Avatar
+    from avatar_tpu.io.calibration import CameraIntrin
+    from avatar_tpu.testing import synthetic_model
+
+    model = synthetic_model(detail=1)
+    ava = Avatar(model)
+    ava.p = np.array([0.0, 0.0, 2.5])
+    ava.update()
+    intrin = CameraIntrin(fx=90.0, fy=90.0, cx=48.0, cy=48.0)
+    v = smpl_viewer.InteractiveViewer(model, ava, intrin, (96, 96))
+    base = v.render().copy()
+    v.set_pose(4, [1.0, 0.2, 0.0])
+    posed = v.render()
+    assert posed.shape == base.shape
+    assert (posed != base).mean() > 0.001  # pose change moved pixels
+    v.set_shape(0, 2.0)
+    shaped = v.render()
+    assert (shaped != posed).mean() > 0.001
