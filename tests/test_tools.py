@@ -164,3 +164,11 @@ def test_smpl_viewer_interactive(tmp_path):
     v.set_shape(0, 2.0)
     shaped = v.render()
     assert (shaped != posed).mean() > 0.001
+
+
+def test_scratch_tool(tmp_path):
+    from avatar_tpu.tools import scratch
+
+    out = str(tmp_path / "s.png")
+    scratch.main(["-o", out, "--synthetic-model", "1", "--random", "5"])
+    assert os.path.exists(out)
