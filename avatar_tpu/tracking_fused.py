@@ -134,10 +134,38 @@ def fused_frame(ctx: FitContext, tree: Optional[TreeTensors],
         Hs, Ws = depth_s.shape
         tl = jnp.asarray([0, 0], jnp.int32)
         br = jnp.asarray([Ws - 1, Hs - 1], jnp.int32)
+        multi = tree.u.ndim == 3          # stacked [T, ...] bagged forest
         # probes/thresholds were trained on full-res pixel units; the strided
         # grid just changes the offsets' pixel scale
         tree_scaled = tree._replace(u=tree.u / seg_stride,
                                     v=tree.v / seg_stride)
+
+        def walk(img, probe_img=None, origin=None):
+            if not multi:
+                leaf = forest_walk(tree_scaled, img, max_depth, 1, tl, br,
+                                   probe_img=probe_img, origin=origin)
+                keep = (leaf >= 0) & (
+                    tree.leaf_conf[jnp.maximum(leaf, 0)] >= conf_thresh)
+                return jnp.where(keep,
+                                 tree.leaf_best[jnp.maximum(leaf, 0)],
+                                 jnp.uint8(255))
+            # multi-tree: average leaf distributions over trees
+            # (rtree-run.cpp:92-121), then argmax + confidence gate
+            axes = TreeTensors(*([0] * len(TreeTensors._fields)))
+            leafs = jax.vmap(
+                lambda tt: forest_walk(tt, img, max_depth, 1, tl, br,
+                                       probe_img=probe_img, origin=origin),
+                in_axes=(axes,))(tree_scaled)          # [T, h, w]
+            dist = jax.vmap(lambda lf, ld: jnp.where(
+                (lf >= 0)[..., None], ld[jnp.maximum(lf, 0)], 0.0))(
+                leafs, tree.leaf_data)                 # [T, h, w, P]
+            votes = jnp.sum((leafs >= 0).astype(dist.dtype), axis=0)
+            dsum = jnp.sum(dist, axis=0)               # [h, w, P]
+            conf = jnp.max(dsum, -1) / jnp.maximum(votes, 1.0)
+            best = jnp.argmax(dsum, -1).astype(jnp.uint8)
+            keep = (votes > 0) & (conf >= conf_thresh)
+            return jnp.where(keep, best, jnp.uint8(255))
+
         if seg_window is not None:
             # walk only a tracked window (the forest walk is gather-bound;
             # a static-size window centered on the previous frame's part
@@ -153,20 +181,11 @@ def fused_frame(ctx: FitContext, tree: Optional[TreeTensors],
             oy = jnp.clip(ccy.astype(jnp.int32) - wh // 2, 0, Hs - wh)
             ox = jnp.clip(ccx.astype(jnp.int32) - ww // 2, 0, Ws - ww)
             win = jax.lax.dynamic_slice(depth_s, (oy, ox), (wh, ww))
-            leaf = forest_walk(tree_scaled, win, max_depth, 1, tl, br,
-                               probe_img=depth_s, origin=(ox, oy))
-            lab_win = jnp.where(
-                (leaf >= 0) &
-                (tree.leaf_conf[jnp.maximum(leaf, 0)] >= conf_thresh),
-                tree.leaf_best[jnp.maximum(leaf, 0)], jnp.uint8(255))
+            lab_win = walk(win, probe_img=depth_s, origin=(ox, oy))
             labels_s = jax.lax.dynamic_update_slice(
                 jnp.full((Hs, Ws), 255, jnp.uint8), lab_win, (oy, ox))
         else:
-            leaf = forest_walk(tree_scaled, depth_s, max_depth, 1, tl, br)
-            labels_s = jnp.where(
-                (leaf >= 0) &
-                (tree.leaf_conf[jnp.maximum(leaf, 0)] >= conf_thresh),
-                tree.leaf_best[jnp.maximum(leaf, 0)], jnp.uint8(255))
+            labels_s = walk(depth_s)
     else:
         labels_s = labels_full[::seg_stride, ::seg_stride]
         labels_s = jnp.where(depth_s > 0, labels_s, jnp.uint8(255))
@@ -220,18 +239,66 @@ def fused_frame(ctx: FitContext, tree: Optional[TreeTensors],
                     part_counts=diag.part_counts, n_matched=diag.n_matched)
 
 
+def _stack_trees(trees, stride: int) -> TreeTensors:
+    """Stack per-tree tensors into [T, ...] arrays (node/leaf axes padded
+    to the largest tree; padding nodes self-loop and padding leaves carry
+    zero distributions, so they never influence the vote)."""
+    Nmax = max(t.u.shape[0] for t in trees)
+    Lmax = max(t.leaf_data.shape[0] for t in trees)
+
+    def pad_nodes(a, n, fill):
+        pad = Nmax - n
+        if pad == 0:
+            return a
+        shape = (pad,) + tuple(a.shape[1:])
+        return jnp.concatenate([a, jnp.full(shape, fill, a.dtype)])
+
+    stacked = []
+    for t in trees:
+        n = t.u.shape[0]
+        ld = t.leaf_data
+        lpad = Lmax - ld.shape[0]
+        if lpad:
+            ld = jnp.concatenate(
+                [ld, jnp.zeros((lpad, ld.shape[1]), ld.dtype)])
+        self_idx = jnp.arange(n, Nmax, dtype=jnp.int32)
+        lnode = jnp.concatenate([t.lnode, self_idx]) if n < Nmax else t.lnode
+        rnode = jnp.concatenate([t.rnode, self_idx]) if n < Nmax else t.rnode
+        lb = t.leaf_best
+        lc = t.leaf_conf
+        if lpad:
+            lb = jnp.concatenate([lb, jnp.zeros(lpad, lb.dtype)])
+            lc = jnp.concatenate([lc, jnp.zeros(lpad, lc.dtype)])
+        stacked.append(TreeTensors(
+            u=pad_nodes(t.u / stride, n, 0.0),
+            v=pad_nodes(t.v / stride, n, 0.0),
+            thresh=pad_nodes(t.thresh, n, 0.0),
+            lnode=lnode, rnode=rnode,
+            leafid=pad_nodes(t.leafid, n, -1),
+            leaf_data=ld, leaf_best=lb, leaf_conf=lc))
+    return TreeTensors(*[jnp.stack([getattr(s, f) for s in stacked])
+                         for f in TreeTensors._fields])
+
+
 class FusedTracker:
     """Drop-in high-performance tracker (same semantics as tracking.Tracker
     with contiguous part maps; forest or oracle labels)."""
 
     def __init__(self, model: AvatarModel, intrin, image_size, rtree=None,
                  config=None):
+        """rtree: an RTree, or a sequence of RTrees for a bagged forest
+        whose leaf distributions are averaged at inference (the reference
+        ships 3-tree releases; rtree-run.cpp:92-121)."""
         from avatar_tpu.tracking import TrackerConfig
 
         self.model = model
         self.intrin = intrin
         self.image_size = tuple(image_size)
         self.config = config or TrackerConfig()
+        rtrees = (list(rtree) if isinstance(rtree, (list, tuple))
+                  else ([rtree] if rtree is not None else []))
+        self.rtrees = rtrees
+        rtree = rtrees[0] if rtrees else None
         self.rtree = rtree
         self.ava = Avatar(model)
         self.timer = StageTimer()
@@ -253,7 +320,8 @@ class FusedTracker:
                             model.pose_prior.prec_cho,
                             model.pose_prior.consts_log),
         )
-        self._max_depth = rtree._max_depth if rtree is not None else 0
+        self._max_depth = (max(t._max_depth for t in rtrees)
+                           if rtrees else 0)
         self._use_bgsub = False
         self.com_pre = jnp.asarray(
             np.concatenate([np.full((1, num_parts), -1.0),
@@ -279,7 +347,9 @@ class FusedTracker:
         self._intrin4 = jnp.asarray(
             [intrin.fx / ss, intrin.fy / ss, intrin.cx / ss, intrin.cy / ss],
             model.dtype)
-        if rtree is not None:
+        if len(rtrees) > 1:
+            self._tree = _stack_trees([t._tree for t in rtrees], ss)
+        elif rtree is not None:
             t = rtree._tree
             self._tree = t._replace(u=t.u / ss, v=t.v / ss)
         else:

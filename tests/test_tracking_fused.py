@@ -126,3 +126,35 @@ def test_metrics_jsonl_and_part_counts(sequence, tmp_path):
     assert lines[0]["reinit"] and not lines[1]["reinit"]
     assert "part_counts" in lines[1] and "cost" in lines[1]
     assert any(k.endswith("_ms") for k in lines[1])
+
+
+def test_fused_multi_tree_forest(sequence):
+    """Bagged 2-tree forest: stacked tree tensors, averaged leaf
+    distributions (rtree-run.cpp:92-121) inside the fused frame."""
+    from avatar_tpu.perception.rtree import RTree
+    from avatar_tpu.train.forest import ForestTrainer
+
+    model, frames = sequence
+    trees = []
+    for seed in (5, 95):
+        tr = ForestTrainer(
+            model, INTRIN, (H, W), num_parts=24, num_images=16,
+            num_points_per_image=300, num_features=32,
+            max_probe_offset=80.0, min_samples=24, max_tree_depth=8,
+            image_batch=8, seed=seed)
+        t = RTree(24)
+        t.set_forest(tr.train())
+        t.partmap_type = 0
+        trees.append(t)
+
+    cfg = TrackerConfig(data_interval=4, min_points=60, iters_per_icp=4,
+                        label_conf_thresh=0.3, seg_window=None,
+                        rtree_interval=2)
+    tracker = FusedTracker(model, INTRIN, (H, W), rtree=trees, config=cfg)
+    assert tracker._tree.u.ndim == 3 and tracker._tree.u.shape[0] == 2
+    depth, mask, gtj = frames[0]
+    res = tracker.track(depth)
+    assert res.ok
+    ava = tracker.sync_avatar()
+    err = np.linalg.norm(ava.joint_pos - gtj, axis=1).mean()
+    assert err < 0.2, f"multi-tree fused err {err * 1e3:.0f} mm"
