@@ -40,7 +40,12 @@ class AvatarOptimizer:
         # betaShape=0.12 — demo.cpp:54-57)
         self.beta_pose = 0.1
         self.beta_shape = 1.0
-        self.nn_step = 20          # kept for API parity (forward-NN mode)
+        # Reference nnStep (AvatarOptimizer.h:30-33) subsampled the model
+        # vertices entering NN correspondence.  Here it builds the fit's
+        # candidate mask (FitContext.cand_mask): 1 keeps every vertex
+        # (default; the reference's production invert mode also matches
+        # against all visible vertices), k > 1 keeps every k-th vertex.
+        self.nn_step = 1
         self.max_iters_per_icp = 10
         self.enable_occlusion = True
         # TPU-rebuild extras (not in the reference): Huber IRLS robust
@@ -126,6 +131,12 @@ class AvatarOptimizer:
         parts = np.full(B, -1, np.int32)
         parts[:N] = labels
 
+        ctx = self._ctx
+        if self.nn_step and self.nn_step > 1:
+            n_model = self._ctx.lbs.weights.shape[0]
+            mask = (np.arange(n_model) % int(self.nn_step)) == 0
+            ctx = ctx._replace(cand_mask=jnp.asarray(mask))
+
         ava = self.ava
         theta0 = Theta(
             p=jnp.asarray(ava.p, self._dtype),
@@ -137,7 +148,7 @@ class AvatarOptimizer:
         # (NN is ~free on TPU), so the equivalent step budget is the product.
         n_steps = int(icp_iters) * int(self.max_iters_per_icp)
         theta, diag = fit(
-            self._ctx, ava.model.parents,
+            ctx, ava.model.parents,
             jnp.asarray(pts, self._dtype), jnp.asarray(parts, jnp.int32),
             theta0,
             jnp.asarray(self.beta_pose, self._dtype),

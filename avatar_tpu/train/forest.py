@@ -736,6 +736,12 @@ def train_from_avatar(rtree, avatar_model, pose_seq, intrin, image_size,
             "max_images_loaded/mem_limit_mb are ignored on TPU (the frame "
             "cache is managed by XLA); got %s/%s",
             max_images_loaded, mem_limit_mb)
+    # frac_samples_per_feature (V2's sparse-scoring sample fraction,
+    # rtree-train.cpp:37-39) maps to the filter stage's image subsample
+    # rate; min_samples_per_feature's histogram-sizing role is covered by
+    # the fixed threshes_per_feature buckets.
+    filter_subsample = (max(1, round(1.0 / frac_samples_per_feature))
+                        if frac_samples_per_feature > 0 else 4)
     trainer = ForestTrainer(
         avatar_model, intrin, image_size, rtree.num_parts,
         part_map=part_map, pose_seq=pose_seq, num_images=num_images,
@@ -744,7 +750,8 @@ def train_from_avatar(rtree, avatar_model, pose_seq, intrin, image_size,
         max_tree_depth=max_tree_depth, n_buckets=threshes_per_feature,
         seed=seed, verbose=verbose,
         checkpoint_path=train_partial_save_path,
-        num_features_filtered=num_features_filtered)
+        num_features_filtered=num_features_filtered,
+        filter_subsample=filter_subsample)
     fd = trainer.train(resume_from=train_partial_save_path)
     rtree.set_forest(fd)
     rtree.part_map = list(part_map) if part_map is not None else []

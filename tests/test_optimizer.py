@@ -277,3 +277,28 @@ def test_optimizer_accepts_colmajor(setup):
     opt.enable_occlusion = False
     info = opt.optimize(data, labels, icp_iters=1)
     assert info["n_matched"] > 0
+
+
+def test_nn_step_candidate_subsampling(setup):
+    """nn_step subsamples the NN candidate set (reference
+    AvatarOptimizer.h:30-33 vertex stride): a fit with nn_step=4 still
+    converges, and its correspondence targets only hit kept vertices."""
+    model, _, _ = setup
+    gt = Avatar(model)
+    gt.p = np.array([0.0, 0.0, 2.5])
+    gt.update()
+    data = gt.cloud[::4]
+    labels = model.main_joint[::4]
+
+    ava = Avatar(model)
+    ava.p = gt.p + np.array([0.02, -0.01, 0.02])
+    ava.update()
+    opt = AvatarOptimizer(ava)
+    opt.enable_occlusion = False
+    opt.beta_pose = 0.05
+    opt.beta_shape = 0.12
+    opt.nn_step = 4
+    info = opt.optimize(data, labels, icp_iters=2)
+    assert info["n_matched"] > 0
+    err = np.linalg.norm(ava.joint_pos - gt.joint_pos, axis=1).mean()
+    assert err < 0.05
