@@ -46,6 +46,8 @@ def build_parser():
                     help="treat frame N as the background "
                          "(the reference binds this to the 'b' key)")
     ap.add_argument("--fused", action="store_true")
+    ap.add_argument("--metrics", default="",
+                    help="write per-frame metrics JSONL here")
     add_model_args(ap)
     return ap
 
@@ -74,6 +76,8 @@ def main(argv=None):
         tracker = FusedTracker(model, intrin, (H, W), rtree=rtree, config=cfg)
     else:
         tracker = Tracker(model, intrin, (H, W), rtree=rtree, config=cfg)
+    if args.metrics:
+        tracker.open_metrics(args.metrics)
 
     if args.out:
         os.makedirs(args.out, exist_ok=True)
@@ -118,6 +122,8 @@ def main(argv=None):
                 break
     finally:
         cam.end_capture()
+    if args.metrics:
+        tracker.close_metrics()
     print(tracker.timer.report())
 
 
