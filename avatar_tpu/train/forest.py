@@ -344,7 +344,7 @@ class ForestTrainer:
                  num_points_per_image: int = 1000, num_features: int = 128,
                  max_probe_offset: float = 170.0, min_samples: int = 64,
                  max_tree_depth: int = 13, n_buckets: int = 16,
-                 image_batch: int = 16, node_chunk: int = 256,
+                 image_batch: int = 16, node_chunk: int = 512,
                  seed: int = 0, verbose: bool = False,
                  checkpoint_path: str = "", mesh: Optional[object] = None,
                  frame_source: Optional[FileFrameSource] = None,
@@ -557,35 +557,35 @@ class ForestTrainer:
         gains_pool = np.zeros((NC, F), np.float32)
         batch_starts = list(range(0, self.num_images, self.B))[::sub]
         big = np.float32(3e38)
+        node_local = jnp.asarray(node_local_np)
         for fb in range(0, F, self.Fb):
             fu_b = jnp.asarray(fu_pool[fb:fb + self.Fb])
             fv_b = jnp.asarray(fv_pool[fb:fb + self.Fb])
             Fb = fu_b.shape[0]
-            smin = np.full((NC, Fb), big, np.float32)
-            smax = np.full((NC, Fb), -big, np.float32)
+            # all accumulation on device: the count tensor is ~50 MB per
+            # call and must never cross the (remote-tunnel) host link
+            smin = jnp.full((NC, Fb), big)
+            smax = jnp.full((NC, Fb), -big)
             for start in batch_starts:
                 sl = slice(start, min(start + self.B, self.num_images))
                 mn, mx = pass_minmax(
-                    jnp.asarray(self._depth_cache[sl]),
+                    self._depth_cache[sl],
                     self.samples.x[sl], self.samples.y[sl],
-                    self.samples.valid[sl], jnp.asarray(node_local_np[sl]),
+                    self.samples.valid[sl], node_local[sl],
                     fu_b, fv_b, NC)
-                smin = np.minimum(smin, np.asarray(mn)[:NC])
-                smax = np.maximum(smax, np.asarray(mx)[:NC])
-            counts = np.zeros((NC, Fb, Ts, P), np.float32)
-            smin_j = jnp.asarray(smin)
-            smax_j = jnp.asarray(smax)
+                smin = jnp.minimum(smin, mn[:NC])
+                smax = jnp.maximum(smax, mx[:NC])
+            counts = jnp.zeros((NC, Fb, Ts, P))
             for start in batch_starts:
                 sl = slice(start, min(start + self.B, self.num_images))
-                c = pass_counts(
-                    jnp.asarray(self._depth_cache[sl]),
+                counts = counts + pass_counts(
+                    self._depth_cache[sl],
                     self.samples.x[sl], self.samples.y[sl],
                     self.samples.part[sl], self.samples.valid[sl],
-                    jnp.asarray(node_local_np[sl]), fu_b, fv_b,
-                    smin_j, smax_j, NC, Ts, P)
-                counts += np.asarray(c)
-            g, _ = split_gains(jnp.asarray(counts))             # [NC,Fb,Ts-1]
-            gains_pool[:, fb:fb + Fb] = np.asarray(g).max(axis=2)
+                    node_local[sl], fu_b, fv_b,
+                    smin, smax, NC, Ts, P)
+            g, _ = split_gains(counts)                          # [NC,Fb,Ts-1]
+            gains_pool[:, fb:fb + Fb] = np.asarray(jnp.max(g, axis=2))
         # top-Ff per node by sparse gain
         top = np.argsort(-gains_pool, axis=1)[:, :Ff]           # [NC, Ff]
         return top
@@ -593,11 +593,12 @@ class ForestTrainer:
     def _process_chunk(self, chunk, chunk_depths, new_frontier, new_depths):
         NC = len(chunk)
         F, T, P = self.F, self.T, self.num_parts
-        # map global node id -> local slot
-        gid_to_local = {g: i for i, g in enumerate(chunk)}
-        node_local_np = np.full_like(self.node_of, -1)
-        for g, i in gid_to_local.items():
-            node_local_np[self.node_of == g] = i
+        # map global node id -> local slot (one gather; a per-node boolean
+        # scan is O(chunk * samples) and dominated deep levels)
+        gmap = np.full(len(self.tree.thresh) + 1, -1, np.int32)
+        gmap[np.asarray(chunk, np.int32)] = np.arange(NC, dtype=np.int32)
+        node_local_np = gmap[np.maximum(self.node_of, 0)]
+        node_local_np[self.node_of < 0] = -1
 
         # per-level random feature pool (V3 samples per node; a shared pool
         # per chunk is the tensor-friendly equivalent)
@@ -619,33 +620,34 @@ class ForestTrainer:
         fv_j = jnp.asarray(fv)
 
         big = np.float32(3e38)
-        smin = np.full((NC, F), big, np.float32)
-        smax = np.full((NC, F), -big, np.float32)
+        node_local = jnp.asarray(node_local_np)
+        smin_j = jnp.full((NC, F), big)
+        smax_j = jnp.full((NC, F), -big)
         for start in range(0, self.num_images, self.B):
             sl = slice(start, min(start + self.B, self.num_images))
             mn, mx = pass_minmax(
-                jnp.asarray(self._depth_cache[sl]),
+                self._depth_cache[sl],
                 self.samples.x[sl], self.samples.y[sl],
-                self.samples.valid[sl], jnp.asarray(node_local_np[sl]),
+                self.samples.valid[sl], node_local[sl],
                 fu_j, fv_j, NC)
-            smin = np.minimum(smin, np.asarray(mn)[:NC])
-            smax = np.maximum(smax, np.asarray(mx)[:NC])
+            smin_j = jnp.minimum(smin_j, mn[:NC])
+            smax_j = jnp.maximum(smax_j, mx[:NC])
 
-        counts = np.zeros((NC, F, T, P), np.float32)
-        smin_j = jnp.asarray(smin)
-        smax_j = jnp.asarray(smax)
+        counts_j = jnp.zeros((NC, F, T, P))
         for start in range(0, self.num_images, self.B):
             sl = slice(start, min(start + self.B, self.num_images))
-            c = pass_counts(
-                jnp.asarray(self._depth_cache[sl]),
+            counts_j = counts_j + pass_counts(
+                self._depth_cache[sl],
                 self.samples.x[sl], self.samples.y[sl],
                 self.samples.part[sl], self.samples.valid[sl],
-                jnp.asarray(node_local_np[sl]), fu_j, fv_j,
+                node_local[sl], fu_j, fv_j,
                 smin_j, smax_j, NC, T, P)
-            counts += np.asarray(c)
 
-        gains, _ = split_gains(jnp.asarray(counts))
-        gains = np.asarray(gains)                               # [NC,F,T-1]
+        gains_j, _ = split_gains(counts_j)
+        gains = np.asarray(gains_j)                             # [NC,F,T-1]
+        smin = np.asarray(smin_j)
+        smax = np.asarray(smax_j)
+        counts = np.asarray(counts_j)
         totals = counts.sum(axis=(1, 2, 3)) / F                 # per node n
         part_hist = counts.sum(axis=(1, 2)) / F                 # [NC,P]
 

@@ -63,8 +63,9 @@ def main():
             num_features_filtered=args.filtered,
             max_probe_offset=args.probe, min_samples=args.min_samples,
             max_tree_depth=args.depth, image_batch=8,
-            seed=args.seed + 71 * t, verbose=True)
-        fd = trainer.train()
+            seed=args.seed + 71 * t, verbose=True,
+            checkpoint_path=path + ".ckpt")
+        fd = trainer.train(resume_from=path + ".ckpt")
         tree = RTree(24)
         tree.set_forest(fd)
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
