@@ -254,15 +254,32 @@ class _TreeBuilder:
 
 
 def _sample_pixels(depth: np.ndarray, mask: np.ndarray, S: int,
-                   rng: np.random.Generator) -> Tuple[np.ndarray, ...]:
-    """Choose up to S foreground pixels of one rendered frame."""
-    ys, xs = np.nonzero((mask != 255) & (depth > 0))
+                   rng: np.random.Generator,
+                   balance: float = 0.5) -> Tuple[np.ndarray, ...]:
+    """Choose up to S foreground pixels of one rendered frame.
+
+    ``balance`` blends uniform-over-foreground sampling (0.0, the
+    reference's strategy) with equal-per-part sampling (1.0).  Small parts
+    (hands, feet) cover <1% of foreground pixels; uniformly sampled trees
+    never accumulate enough of their samples to split them out and score
+    ~0% recall on extremities — exactly the parts the tracker needs most.
+    """
+    fg = (mask != 255) & (depth > 0)
+    ys, xs = np.nonzero(fg)
     n = len(ys)
     if n == 0:
         z = np.zeros(S, np.int32)
         return z, z, z, np.zeros(S, bool)
+    labels = mask[ys, xs].astype(np.int64)
+    parts, counts = np.unique(labels, return_counts=True)
+    # per-pixel weight: (1-b) * uniform + b * (1 / part frequency)
+    inv = 1.0 / counts.astype(np.float64)
+    wmap = {p: (1.0 - balance) / n + balance * inv[i] / len(parts)
+            for i, p in enumerate(parts)}
+    w = np.asarray([wmap[l] for l in labels])
+    w /= w.sum()
     take = min(S, n)
-    idx = rng.choice(n, size=take, replace=False)
+    idx = rng.choice(n, size=take, replace=False, p=w)
     x = np.zeros(S, np.int32)
     y = np.zeros(S, np.int32)
     p = np.zeros(S, np.int32)
@@ -350,7 +367,7 @@ class ForestTrainer:
                  frame_source: Optional[FileFrameSource] = None,
                  num_features_filtered: int = 0,
                  filter_subsample: int = 4, filter_buckets: int = 8,
-                 feature_block: int = 256):
+                 feature_block: int = 256, sample_balance: float = 0.5):
         self.model = model
         self.H, self.W = image_size
         self.num_parts = num_parts
@@ -379,6 +396,7 @@ class ForestTrainer:
         self.checkpoint_path = checkpoint_path
         self.mesh = mesh
         self.frame_source = frame_source
+        self.sample_balance = sample_balance
         if frame_source is None:
             self.src = synth.make_source(model, intrin, part_map, pose_seq,
                                          n_images=num_images, seed=seed)
@@ -413,7 +431,7 @@ class ForestTrainer:
             self._depth_cache.append(depth_np[: len(ids)])
             for k in range(len(ids)):
                 x, y, p, v = _sample_pixels(depth_np[k], mask_np[k], self.S,
-                                            self._rng)
+                                            self._rng, self.sample_balance)
                 xs.append(x)
                 ys.append(y)
                 ps.append(p)

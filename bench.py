@@ -98,6 +98,7 @@ def main():
     frames = []
     gts = []
     gt_verts = []
+    gt_theta0 = None
     for t in range(n_frames):
         gt.update()
         rend = AvatarRenderer(gt, intrin)
@@ -108,6 +109,8 @@ def main():
         frames.append(((scene_d * 1000).astype(np.uint16), mask))
         gts.append(gt.joint_pos.copy())
         gt_verts.append(gt.cloud.copy())
+        if t == 0:
+            gt_theta0 = (gt.w.copy(), gt.p.copy(), gt.r.copy())
         wig = amp * np.sin(freq * (t + 1) + phase)
         step = np.asarray(rotation.so3_exp(jnp.asarray(wig, jnp.float32)))
         gt.r = np.einsum("jab,jbc->jac", step, base_r)
@@ -120,9 +123,18 @@ def main():
 
         cache = args.forest_cache
         if os.path.exists(cache):
-            forest = RTree(cache)
-            print(f"[bench] loaded cached forest {cache} "
-                  f"({forest.forest.num_nodes} nodes)", file=sys.stderr)
+            # load the tree plus any bagged siblings (_1, _2, ...)
+            paths = [cache]
+            k = 1
+            while os.path.exists(cache.replace(".srtr", f"_{k}.srtr")):
+                paths.append(cache.replace(".srtr", f"_{k}.srtr"))
+                k += 1
+            trees = [RTree(p) for p in paths]
+            for t in trees:
+                t.partmap_type = 0
+            forest = trees if len(trees) > 1 else trees[0]
+            print(f"[bench] loaded forest {cache} x{len(trees)} "
+                  f"({trees[0].forest.num_nodes} nodes)", file=sys.stderr)
         else:
             print("[bench] training bench forest (one-time, cached)...",
                   file=sys.stderr)
@@ -139,7 +151,7 @@ def main():
             forest.export_file(cache)
             print(f"[bench] forest trained in {time.time() - t0:.0f}s, "
                   f"{fd.num_nodes} nodes", file=sys.stderr)
-        forest.partmap_type = 0  # contiguous body parts
+            forest.partmap_type = 0  # contiguous body parts
 
     cfg = TrackerConfig(data_interval=data_interval, min_points=min_points,
                         frame_icp_iters=3, reinit_icp_iters=6,
@@ -239,7 +251,43 @@ def main():
                     _jnp.asarray(0.12, _jnp.float32), n_steps=12)
     _jax.block_until_ready(_out)
     fit_device_ms = (time.perf_counter() - _t0) / 10 * 1e3
+
+    # converged-fit exactness (BASELINE.md "<1 mm fitted-mesh vertex RMSE"):
+    # fit frame 0's oracle-labeled stride samples starting from the ground
+    # truth and measure how far the solver drifts off the true mesh — the
+    # reference's per-frame converged accuracy, without the motion budget
     from avatar_tpu.core.lbs import lbs as _lbs
+
+    _w0, _p0, _r0 = gt_theta0
+    from avatar_tpu.optim.gauss_newton import Theta as _Theta
+    _theta_gt = _Theta(p=_jnp.asarray(_p0, _jnp.float32),
+                       rots=_jnp.asarray(_r0, _jnp.float32),
+                       w=_jnp.asarray(_w0, _jnp.float32))
+    _scene0, _mask0 = frames[0]
+    _d0 = _scene0[::data_interval, ::data_interval].astype(np.float32) * 1e-3
+    _m0 = np.asarray(_mask0)[::data_interval, ::data_interval]
+    _ys = np.arange(_d0.shape[0]) * data_interval
+    _xs = np.arange(_d0.shape[1]) * data_interval
+    _sub = np.stack([(_xs[None, :] - intrin.cx) * _d0 / intrin.fx,
+                     -(_ys[:, None] - intrin.cy) * _d0 / intrin.fy, _d0], -1)
+    _fgm = (_m0 != 255) & (_d0 > 0)
+    _n0 = int(_fgm.sum())
+    _B0 = 1024
+    while _B0 < _n0:
+        _B0 *= 2
+    _pts0 = np.zeros((_B0, 3), np.float32)
+    _pts0[:_n0] = _sub[_fgm]
+    _parts0 = np.full(_B0, -1, np.int32)
+    _parts0[:_n0] = _m0[_fgm]
+    _outg = _fit(tracker._ctx, model.parents, _jnp.asarray(_pts0),
+                 _jnp.asarray(_parts0), _theta_gt,
+                 _jnp.asarray(0.03, _jnp.float32),
+                 _jnp.asarray(0.12, _jnp.float32), n_steps=12,
+                 num_parts=tracker.num_parts)
+    _vg, _, _, _ = _lbs(model.params, model.parents, _outg[0].w, _outg[0].p,
+                        _outg[0].rots)
+    fit_rmse_mm = float(np.sqrt(np.mean(np.sum(
+        (np.asarray(_vg) - gt_verts[0]) ** 2, axis=1))) * 1e3)
 
     errs = []
     vrms = []
@@ -266,6 +314,7 @@ def main():
         "frame_ms": round(float(frame_ms.mean()), 3) if len(frame_ms) else 0,
         "joint_err_mm": round(joint_err_mm, 2),
         "vertex_rmse_mm": round(vertex_rmse_mm, 2),
+        "fit_rmse_mm": round(fit_rmse_mm, 2),
         "frames": n_frames,
         "tracked": tracked,
         "platform": jax.devices()[0].platform,
