@@ -174,6 +174,47 @@ def pass_assign(depth, sx, sy, valid, node, best_u, best_v, best_thresh,
     return jnp.where(is_split[node] & valid, child, node)
 
 
+@functools.partial(jax.jit, static_argnames=("S", "num_parts"))
+def sample_pixels_device(depth, mask, S: int, num_parts: int, balance,
+                         key):
+    """Weighted foreground pixel sampling fully on device.
+
+    Gumbel top-k draws S pixels per image without replacement from the
+    blended uniform/inverse-part-frequency distribution of _sample_pixels
+    (so no [B,H,W] frame ever crosses the host link during sample init).
+    Returns (x, y, part, valid), each [B, S].
+    """
+    B, H, W = depth.shape
+    fg = (mask != 255) & (depth > 0)
+    lab = jnp.where(fg, mask, num_parts).astype(jnp.int32).reshape(B, -1)
+    b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
+    cnt = jnp.zeros((B, num_parts + 1), jnp.float32).at[
+        b_idx, lab].add(1.0)                             # [B, P+1]
+    n_fg = jnp.sum(cnt[:, :num_parts], axis=1)           # [B]
+    present = (cnt[:, :num_parts] > 0).astype(jnp.float32)
+    n_present = jnp.maximum(jnp.sum(present, axis=1), 1.0)
+    inv = jnp.where(cnt[:, :num_parts] > 0, 1.0 / cnt[:, :num_parts], 0.0)
+    inv = jnp.concatenate([inv, jnp.zeros((B, 1))], axis=1)
+    w = ((1.0 - balance) / jnp.maximum(n_fg, 1.0)[:, None] +
+         balance * jnp.take_along_axis(inv, lab, axis=1) /
+         n_present[:, None])                              # [B, HW]
+    logw = jnp.where(fg.reshape(B, -1), jnp.log(jnp.maximum(w, 1e-30)),
+                     -jnp.inf)
+    g = -jnp.log(-jnp.log(
+        jax.random.uniform(key, logw.shape, minval=1e-10, maxval=1.0)))
+    _, idx = jax.lax.top_k(logw + g, S)                   # [B, S]
+    x = (idx % W).astype(jnp.int32)
+    y = (idx // W).astype(jnp.int32)
+    part = jnp.take_along_axis(mask.reshape(B, -1), idx,
+                               axis=1).astype(jnp.int32)
+    valid = jnp.take_along_axis(fg.reshape(B, -1), idx, axis=1)
+    # images with fewer foreground pixels than S still get S indices from
+    # top_k (-inf rows): gate on the gathered fg mask and zero the part so
+    # downstream scatter indices stay in range
+    part = jnp.where(valid, part, 0)
+    return x, y, part, valid
+
+
 @functools.partial(jax.jit, static_argnames=())
 def split_gains(counts):
     """Entropy info gain over bucket prefix sums.
@@ -419,30 +460,56 @@ class ForestTrainer:
 
     def _init_samples(self):
         """Render every image once, sample S foreground pixels each
-        (AvatarTrainerV3::initTraining, RTree.cpp:2424-2497)."""
+        (AvatarTrainerV3::initTraining, RTree.cpp:2424-2497).
+
+        For device-rendered synthetic frames, the frame cache AND the
+        weighted pixel sampling stay on device end to end (no [B,H,W]
+        downloads over the link); host frame sources use the host sampler.
+        """
+        on_device = self.frame_source is None
         xs, ys, ps, vs = [], [], [], []
-        self._depth_cache = []
+        cache = []
+        key = jax.random.PRNGKey(self.seed ^ 0x5EED)
         for start in range(0, self.num_images, self.B):
             ids = np.arange(start, min(start + self.B, self.num_images))
             ids_pad = np.pad(ids, (0, self.B - len(ids)), mode="edge")
             depth, mask = self._render_batch(ids_pad)
-            depth_np = np.asarray(depth)
-            mask_np = np.asarray(mask)
-            self._depth_cache.append(depth_np[: len(ids)])
-            for k in range(len(ids)):
-                x, y, p, v = _sample_pixels(depth_np[k], mask_np[k], self.S,
-                                            self._rng, self.sample_balance)
-                xs.append(x)
-                ys.append(y)
-                ps.append(p)
-                vs.append(v)
+            if on_device:
+                bx, by, bp, bv = sample_pixels_device(
+                    depth, mask, self.S, self.num_parts,
+                    jnp.asarray(self.sample_balance, jnp.float32),
+                    jax.random.fold_in(key, start))
+                xs.append(bx[: len(ids)])
+                ys.append(by[: len(ids)])
+                ps.append(bp[: len(ids)])
+                vs.append(bv[: len(ids)])
+                cache.append(depth[: len(ids)])
+            else:
+                depth_np = np.asarray(depth)
+                mask_np = np.asarray(mask)
+                cache.append(depth_np[: len(ids)])
+                for k in range(len(ids)):
+                    x, y, p, v = _sample_pixels(
+                        depth_np[k], mask_np[k], self.S, self._rng,
+                        self.sample_balance)
+                    xs.append(x)
+                    ys.append(y)
+                    ps.append(p)
+                    vs.append(v)
             if self.verbose and (start // self.B) % 8 == 0:
                 print(f"[forest] rendered {start + len(ids)}"
                       f"/{self.num_images} images")
-        self._set_depth_cache(np.concatenate(self._depth_cache, axis=0))
-        self.samples = Samples(
-            x=jnp.asarray(np.stack(xs)), y=jnp.asarray(np.stack(ys)),
-            part=jnp.asarray(np.stack(ps)), valid=jnp.asarray(np.stack(vs)))
+        if on_device:
+            self._depth_cache = jnp.concatenate(cache, axis=0)
+            self.samples = Samples(
+                x=jnp.concatenate(xs), y=jnp.concatenate(ys),
+                part=jnp.concatenate(ps), valid=jnp.concatenate(vs))
+        else:
+            self._set_depth_cache(np.concatenate(cache, axis=0))
+            self.samples = Samples(
+                x=jnp.asarray(np.stack(xs)), y=jnp.asarray(np.stack(ys)),
+                part=jnp.asarray(np.stack(ps)),
+                valid=jnp.asarray(np.stack(vs)))
         self.node_of = np.zeros((self.num_images, self.S), np.int32)
         self.node_of[~np.asarray(self.samples.valid)] = -1
 
