@@ -247,7 +247,8 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
         function_tolerance: float = 1e-4,
         num_parts: int = 0,
         huber_k: jnp.ndarray | float = 1.5,
-        robust_per_part: bool = False) -> Tuple[Theta, FitDiag]:
+        robust_per_part: bool = False,
+        beta_temp: jnp.ndarray | float = 0.0) -> Tuple[Theta, FitDiag]:
     """Full avatar fit (the reference's AvatarOptimizer::optimize) as one
     jitted program.
 
@@ -269,6 +270,7 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
     P = ctx.lbs.weights.shape[0]
     w_pt = jnp.asarray(point_weight, dtype)
     w_pl = jnp.asarray(plane_weight, dtype)
+    w_tmp = jnp.asarray(beta_temp, dtype)
 
     # renormalize the incoming rotations (the reference's quaternion
     # round-trip does this implicitly each optimize() call,
@@ -292,6 +294,14 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
     shaped0, _ = shape_fwd(ctx.lbs, theta0.w, use_jsr)
     n_rest = _vertex_normals(shaped0, ctx.faces)
     occ_margin = jnp.asarray(0.2, dtype)
+
+    # temporal-prior constants (frame-start rotations + tangent-dim mask)
+    rots0 = theta0.rots
+    J_all = len(parents)
+    D_all = 3 + 3 * J_all + ctx.lbs.shapedirs.shape[2]
+    rot_dims = jnp.zeros(D_all, dtype).at[3:3 + 3 * J_all].set(1.0)
+    parent_arr = jnp.asarray(
+        [parents[j] if parents[j] >= 0 else 0 for j in range(J_all)])
 
     # Part-sorted NN plan (loop-invariant): both clouds sorted by part label
     # so each data tile of the Pallas kernel scans only the model chunks
@@ -362,12 +372,16 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
         scale = jnp.sqrt(jnp.maximum(n_matched, 1.0)) / 15.0
         bp = beta_pose * scale
         bs = beta_shape * scale
+        bt = w_tmp * scale
 
         def total_cost(th, xf):
             rr = xf[cidx] - data_pts
             c_pt = 0.5 * jnp.sum(wgt * jnp.sum(rr * rr, -1))
             c_pl = 0.5 * jnp.sum(wgt * jnp.sum(vn[cidx] * rr, -1) ** 2)
-            return (w_pt ** 2 * c_pt + w_pl ** 2 * c_pl +
+            aa_t = rotation.so3_log(jnp.einsum(
+                "jab,jcb->jac", th.rots, rots0, precision=_HI))
+            c_t = 0.5 * bt ** 2 * jnp.sum(aa_t * aa_t)
+            return (w_pt ** 2 * c_pt + w_pl ** 2 * c_pl + c_t +
                     _prior_cost(ctx, th, bp, bs))
 
         cost = total_cost(theta, x)
@@ -392,6 +406,18 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
         pJtJ, pJtr = _prior_terms(ctx, parents, theta, Rg, bp, bs)
         JtJ = JtJ + pJtJ
         Jtr = Jtr + pJtr
+        # temporal pose prior: residual log(R_j R_j0^T) per joint, Jacobian
+        # C_j^T wrt the global-frame tangent (block-diagonal) -- damps
+        # joints the data does not constrain toward the frame-start pose
+        # instead of letting them free-wheel under the GMM prior alone
+        aa_t = rotation.so3_log(jnp.einsum(
+            "jab,jcb->jac", theta.rots, rots0, precision=_HI))   # [J,3]
+        J_ = len(parents)
+        JtJ = JtJ + bt ** 2 * jnp.diag(rot_dims)
+        Cmat = Rg[parent_arr].at[0].set(jnp.eye(3, dtype=dtype))
+        Jtr = Jtr.at[3:3 + 3 * J_].add(
+            bt ** 2 * jnp.einsum("jab,jb->ja", Cmat, aa_t,
+                                 precision=_HI).reshape(-1))
         # Marquardt damping with a diagonal floor: dimensions the data does
         # not constrain (e.g. shape keys of occluded parts) have ~zero
         # curvature AND ~zero gradient; pure diag-scaling leaves them

@@ -61,6 +61,27 @@ class TrackerConfig:
     huber_k: float = 3.0          # Huber delta = huber_k * robust scale
     robust_per_part: bool = True  # per-body-part robust scale (see
                                   # gauss_newton.fit) instead of global
+    # optional part->group LUT (tuple of num_parts ints) for group-level
+    # correspondence; see perception/partgroups.py.  None = strict per-part
+    # matching like the reference (AvatarOptimizer.cpp:889-949)
+    part_groups: Optional[tuple] = None
+    # model-predicted labels (FusedTracker only): render the previous
+    # pose's part mask on device and override forest labels where measured
+    # depth agrees with the render within render_label_tau meters
+    render_labels: bool = True
+    render_label_tau: float = 0.06
+    # temporal pose prior weight (FusedTracker): damps per-joint rotation
+    # change from the frame-start pose; joints without data support follow
+    # their parent instead of free-wheeling.  Same sqrt(n)/15 scaling as
+    # beta_pose
+    beta_temp: float = 0.0
+    # extremity-dense sampling (FusedTracker, requires part_groups): up to
+    # extremity_boost_n extra data samples of the listed groups at full
+    # segmentation resolution, so thin limbs aren't starved by the coarse
+    # data_interval grid.  Group ids are in part_groups space (the default
+    # lists calves/feet/forearms/hands of SMPL24_GROUP_LUT)
+    extremity_boost_n: int = 1024
+    extremity_boost_groups: tuple = (4, 5, 6, 7, 10, 11, 12, 13)
 
 
 @dataclasses.dataclass

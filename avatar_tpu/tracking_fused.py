@@ -29,7 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from avatar_tpu.core.model import Avatar, AvatarModel
-from avatar_tpu.optim.gauss_newton import FitContext, PriorData, Theta, fit
+from avatar_tpu.optim.gauss_newton import FitContext, PriorData, Theta, \
+    _forward, fit
 from avatar_tpu.perception import cc
 from avatar_tpu.perception.rtree import TreeTensors, forest_walk, \
     suppress_part_nonmax
@@ -83,7 +84,8 @@ def _bg_subtract(xyz_s, bg_s, nn_t, nb_t, min_pts, cc_sub: int = 4):
     jax.jit,
     static_argnames=("parents", "seg_stride", "data_substride", "n_steps",
                      "num_parts", "max_depth", "use_forest", "use_bgsub",
-                     "use_jsr", "pad_n", "seg_window", "robust_per_part"))
+                     "use_jsr", "pad_n", "seg_window", "robust_per_part",
+                     "use_render_labels", "boost_n", "boost_groups"))
 def fused_frame(ctx: FitContext, tree: Optional[TreeTensors],
                 parents: Tuple[int, ...], depth: jnp.ndarray,
                 labels_full: jnp.ndarray, bg_depth: jnp.ndarray,
@@ -97,7 +99,12 @@ def fused_frame(ctx: FitContext, tree: Optional[TreeTensors],
                 point_weight: float = 1.0,
                 plane_weight: float = 0.0,
                 huber_k: float = 1.5,
-                robust_per_part: bool = False) -> FrameOut:
+                robust_per_part: bool = False,
+                use_render_labels: bool = False,
+                render_tau: float = 0.06,
+                beta_temp: float = 0.0,
+                boost_n: int = 0,
+                boost_groups: Tuple[int, ...] = ()) -> FrameOut:
     """One tracked frame, fully on device.
 
     depth [H, W] f32 meters (or uint16 millimeters — converted here), so the
@@ -190,6 +197,31 @@ def fused_frame(ctx: FitContext, tree: Optional[TreeTensors],
         labels_s = labels_full[::seg_stride, ::seg_stride]
         labels_s = jnp.where(depth_s > 0, labels_s, jnp.uint8(255))
 
+    if use_render_labels:
+        # Model-predicted labels: render the previous pose's part mask on
+        # the strided grid (the device raster costs ~1 ms here — the
+        # reference disabled its analogous CPU render path as too slow,
+        # AvatarOptimizer.cpp:1371-1385) and trust it wherever the measured
+        # depth agrees with the rendered depth within render_tau.  The
+        # forest stays authoritative where the model and data disagree, so
+        # drift is still corrected by the independent per-frame signal.
+        from avatar_tpu.render.raster import default_budget, project_points, \
+            rasterize
+
+        Hs, Ws = depth_s.shape
+        x_prev = _forward(ctx, parents, theta0, use_jsr)[0]     # [P, 3]
+        proj = project_points(x_prev, fx, fy, cx, cy)
+        F = ctx.faces.shape[0]
+        rast = rasterize(proj, x_prev[:, 2], ctx.faces, Hs, Ws,
+                         default_budget(Hs, Ws, F))
+        face_grp = ctx.model_part[ctx.faces[:, 0]]              # [F]
+        rl = jnp.where(rast.fid >= 0,
+                       face_grp[jnp.maximum(rast.fid, 0)].astype(jnp.uint8),
+                       jnp.uint8(255))
+        agree = (depth_s > 0) & (rast.depth > 0) & (
+            jnp.abs(depth_s - rast.depth) < render_tau)
+        labels_s = jnp.where(agree, rl, labels_s)
+
     # blob suppression + CoM tracking (contiguous part maps) on a 2x coarser
     # subgrid (CC cost scales with grid size; part blobs are large)
     blob_sub = 2
@@ -220,6 +252,31 @@ def fused_frame(ctx: FitContext, tree: Optional[TreeTensors],
     parts = sub_lab.reshape(-1).astype(jnp.int32)
     parts = jnp.where((sub_xyz[..., 2] > 0).reshape(-1), parts, -1)
     parts = jnp.where(parts == 255, -1, parts)
+
+    if boost_n:
+        # Extremity-dense sampling: thin structures (forearms, hands, feet)
+        # get a handful of samples on the coarse data grid, so their joints
+        # are fit from ~5 points while the torso gets hundreds.  Gather up
+        # to boost_n extra samples of the boosted groups at FULL (un-
+        # substrided) segmentation resolution via a static top-k (priority =
+        # group membership + a hash-noise tiebreak so the picks spread over
+        # the limb instead of clustering at low indices).
+        flat_lab = lab_src.reshape(-1).astype(jnp.int32)
+        flat_z = xyz_src[..., 2].reshape(-1)
+        is_b = jnp.zeros(flat_lab.shape, jnp.bool_)
+        for g in boost_groups:
+            is_b = is_b | (flat_lab == g)
+        is_b = is_b & (flat_z > 0)
+        hidx = jnp.arange(flat_lab.shape[0], dtype=jnp.uint32)
+        noise = ((hidx * jnp.uint32(2654435761)) &
+                 jnp.uint32(0xFFFF)).astype(jnp.float32) / 65536.0
+        _, top = jax.lax.top_k(is_b.astype(jnp.float32) * 2.0 + noise,
+                               boost_n)
+        bx = xyz_src.reshape(-1, 3)[top]
+        bl = jnp.where(is_b[top], flat_lab[top], -1)
+        pts = jnp.concatenate(
+            [pts, jnp.stack([bx[:, 0], -bx[:, 1], bx[:, 2]], axis=1)])
+        parts = jnp.concatenate([parts, bl])
     n_points = jnp.sum((parts >= 0).astype(jnp.int32))
 
     # pad to the static bucket
@@ -233,10 +290,25 @@ def fused_frame(ctx: FitContext, tree: Optional[TreeTensors],
                       beta_shape, n_steps=n_steps, use_jsr=use_jsr,
                       num_parts=num_parts, point_weight=point_weight,
                       plane_weight=plane_weight, huber_k=huber_k,
-                      robust_per_part=robust_per_part)
+                      robust_per_part=robust_per_part, beta_temp=beta_temp)
     return FrameOut(theta=theta, com_pre=com_new, n_points=n_points,
                     cost=diag.cost, labels_strided=labels_s,
                     part_counts=diag.part_counts, n_matched=diag.n_matched)
+
+
+def _group_tree(t: TreeTensors, lut: np.ndarray, ng: int) -> TreeTensors:
+    """Fold a tree's leaf part distributions into matching groups (argmax
+    and confidence recomputed group-wise; see perception/partgroups.py)."""
+    from avatar_tpu.perception.partgroups import fold_leaf_data
+
+    ld = np.asarray(t.leaf_data)
+    if ld.size == 0:
+        return t
+    gld = fold_leaf_data(ld, lut, ng)
+    return t._replace(
+        leaf_data=jnp.asarray(gld),
+        leaf_best=jnp.asarray(gld.argmax(1).astype(np.uint8)),
+        leaf_conf=jnp.asarray(gld.max(1).astype(np.float32)))
 
 
 def _stack_trees(trees, stride: int) -> TreeTensors:
@@ -304,11 +376,21 @@ class FusedTracker:
         self.timer = StageTimer()
 
         num_parts = rtree.num_parts if rtree is not None else model.num_joints()
-        self.num_parts = num_parts
         part_map = (np.asarray(rtree.part_map, np.int32)
                     if rtree is not None and len(rtree.part_map)
                     else np.arange(model.num_joints(), dtype=np.int32))
         model_part = part_map[model.main_joint]
+        # group-level correspondence (perception/partgroups.py): fold part
+        # labels -- model-side, forest leaves, and oracle masks -- through
+        # the group LUT so matching happens at group granularity
+        self._glut = None
+        if self.config.part_groups is not None:
+            self._glut = np.asarray(self.config.part_groups, np.int32)
+            if len(self._glut) < num_parts:
+                raise ValueError("part_groups shorter than num_parts")
+            model_part = self._glut[model_part]
+            num_parts = int(self._glut.max()) + 1
+        self.num_parts = num_parts
         if model.pose_prior is None:
             raise ValueError("FusedTracker requires a model pose prior")
         self._ctx = FitContext(
@@ -347,26 +429,43 @@ class FusedTracker:
         self._intrin4 = jnp.asarray(
             [intrin.fx / ss, intrin.fy / ss, intrin.cx / ss, intrin.cy / ss],
             model.dtype)
-        if len(rtrees) > 1:
-            self._tree = _stack_trees([t._tree for t in rtrees], ss)
-        elif rtree is not None:
-            t = rtree._tree
+        trees_t = [t._tree for t in rtrees]
+        if self._glut is not None:
+            trees_t = [_group_tree(t, self._glut, self.num_parts)
+                       for t in trees_t]
+        if len(trees_t) > 1:
+            self._tree = _stack_trees(trees_t, ss)
+        elif trees_t:
+            t = trees_t[0]
             self._tree = t._replace(u=t.u / ss, v=t.v / ss)
         else:
             self._tree = None
         self._bg = jnp.zeros(self._proc_size, model.dtype)
         dsub = max(c.data_interval // ss, 1)
         self._data_substride = dsub
+        self._boost_n = (c.extremity_boost_n
+                         if self._glut is not None else 0)
         Hs, Ws = self._proc_size
         n_data = ((Hs + dsub - 1) // dsub) * ((Ws + dsub - 1) // dsub)
         pad = 1024
-        while pad < n_data:
+        while pad < n_data + self._boost_n:
             pad *= 2
         self._pad_n = pad
 
     def _pre_stride(self, arr: np.ndarray) -> np.ndarray:
         s = self._host_stride
         return arr if s == 1 else np.ascontiguousarray(arr[::s, ::s])
+
+    def _map_labels(self, labels: np.ndarray) -> np.ndarray:
+        """Host-side part->group mapping of an oracle label image."""
+        if self._glut is None:
+            return labels
+        from avatar_tpu.perception.partgroups import group_label_lut
+
+        lut = getattr(self, "_label_lut", None)
+        if lut is None:
+            lut = self._label_lut = group_label_lut(self._glut)
+        return lut[labels]
 
     def set_background(self, background_xyz: np.ndarray) -> None:
         """Accepts an XYZ map [H, W, 3] or a depth map [H, W]."""
@@ -376,7 +475,8 @@ class FusedTracker:
         self._bg = jnp.asarray(self._pre_stride(bg), self.model.dtype)
         self._use_bgsub = True
 
-    def _run(self, xyz, labels, n_steps, use_window=True):
+    def _run(self, xyz, labels, n_steps, use_window=True,
+             render_labels=True, is_reinit=False):
         c = self.config
         H, W = self.image_size          # full-res (threshold scaling)
         hs = self._host_stride
@@ -392,7 +492,7 @@ class FusedTracker:
             dsub = self._data_substride
             n_data = (-(-window[0] // dsub)) * (-(-window[1] // dsub))
             pad_n = 1024
-            while pad_n < n_data:
+            while pad_n < n_data + self._boost_n:
                 pad_n *= 2
         return fused_frame(
             self._ctx, self._tree, self.model.parents, xyz, labels, self._bg,
@@ -414,7 +514,17 @@ class FusedTracker:
             point_weight=jnp.asarray(c.point_weight, self.model.dtype),
             plane_weight=jnp.asarray(c.plane_weight, self.model.dtype),
             huber_k=jnp.asarray(c.huber_k, self.model.dtype),
-            robust_per_part=c.robust_per_part)
+            robust_per_part=c.robust_per_part,
+            use_render_labels=(render_labels and c.render_labels and
+                               self.rtree is not None),
+            render_tau=jnp.asarray(c.render_label_tau, self.model.dtype),
+            # the temporal prior anchors to theta0 == the artificial reset
+            # pose during reinit, which would fight the exploration the
+            # reinit fit exists to do
+            beta_temp=jnp.asarray(0.0 if is_reinit else c.beta_temp,
+                                  self.model.dtype),
+            boost_n=self._boost_n,
+            boost_groups=tuple(c.extremity_boost_groups))
 
     def track(self, frame, labels_override: Optional[np.ndarray] = None):
         """Track one frame.  ``frame`` is an XYZ map [H, W, 3], a float
@@ -435,8 +545,8 @@ class FusedTracker:
         if labels_override is None:
             labels = jnp.zeros(self._proc_size, jnp.uint8)
         else:
-            labels = jnp.asarray(self._pre_stride(
-                np.asarray(labels_override)), jnp.uint8)
+            labels = jnp.asarray(self._map_labels(self._pre_stride(
+                np.asarray(labels_override))), jnp.uint8)
 
         min_needed = c.min_points / (c.data_interval ** 2)
         reinitialized = False
@@ -476,7 +586,8 @@ class FusedTracker:
                      np.zeros((1, self.num_parts))]), self.model.dtype)
                 steps = (c.initial_icp_iters if self.first_init
                          else c.reinit_icp_iters) * c.iters_per_icp
-                out = self._run(xyz, labels, steps, use_window=False)
+                out = self._run(xyz, labels, steps, use_window=False,
+                                render_labels=False, is_reinit=True)
                 n_points = int(out.n_points)
             if n_points < min_needed:
                 return TrackResult(ok=False, n_points=n_points)
@@ -525,8 +636,8 @@ class FusedTracker:
             jnp.asarray(depth_np, self.model.dtype)
         labels = (jnp.zeros(self._proc_size, jnp.uint8)
                   if labels_override is None
-                  else jnp.asarray(self._pre_stride(
-                      np.asarray(labels_override)), jnp.uint8))
+                  else jnp.asarray(self._map_labels(self._pre_stride(
+                      np.asarray(labels_override))), jnp.uint8))
         n_steps = c.frame_icp_iters * c.iters_per_icp
         out = self._run(xyz, labels, n_steps)      # async dispatch
         self._theta = out.theta                    # device-side chain

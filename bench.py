@@ -35,6 +35,9 @@ def main():
                     help="use ground-truth part masks instead of the forest")
     ap.add_argument("--forest-cache", default="data/bench_forest.srtr")
     ap.add_argument("--json-out", default="")
+    ap.add_argument("--no-part-groups", action="store_true",
+                    help="strict per-part matching (reference semantics) "
+                         "instead of group-level correspondence")
     args = ap.parse_args()
 
     if args.quick:
@@ -153,11 +156,15 @@ def main():
                   f"{fd.num_nodes} nodes", file=sys.stderr)
             forest.partmap_type = 0  # contiguous body parts
 
+    from avatar_tpu.perception.partgroups import SMPL24_GROUP_LUT
+
     cfg = TrackerConfig(data_interval=data_interval, min_points=min_points,
                         frame_icp_iters=3, reinit_icp_iters=6,
                         initial_icp_iters=7, iters_per_icp=4,
                         label_conf_thresh=0.55,
-                        rtree_interval=3 if not args.quick else 2)
+                        rtree_interval=3 if not args.quick else 2,
+                        part_groups=None if args.no_part_groups
+                        else tuple(SMPL24_GROUP_LUT))
     tracker = FusedTracker(model, intrin, (H, W), rtree=forest, config=cfg)
     tracker.set_background(bg_depth)
 
