@@ -384,12 +384,21 @@ class FusedTracker:
         # labels -- model-side, forest leaves, and oracle masks -- through
         # the group LUT so matching happens at group granularity
         self._glut = None
+        tree_grouped = False
         if self.config.part_groups is not None:
             self._glut = np.asarray(self.config.part_groups, np.int32)
-            if len(self._glut) < num_parts:
-                raise ValueError("part_groups shorter than num_parts")
-            model_part = self._glut[model_part]
-            num_parts = int(self._glut.max()) + 1
+            ng = int(self._glut.max()) + 1
+            # a forest trained directly in group space ships the group LUT
+            # as its .partmap sidecar (the reference's part-map mechanism,
+            # RTree.h:150-166); its leaves need no folding and model_part
+            # is already group-valued via part_map above
+            tree_grouped = (rtree is not None and
+                            np.array_equal(part_map[:len(self._glut)],
+                                           self._glut))
+            if not tree_grouped:
+                model_part = self._glut[model_part]
+            num_parts = ng
+        self._tree_grouped = tree_grouped
         self.num_parts = num_parts
         if model.pose_prior is None:
             raise ValueError("FusedTracker requires a model pose prior")
@@ -430,7 +439,7 @@ class FusedTracker:
             [intrin.fx / ss, intrin.fy / ss, intrin.cx / ss, intrin.cy / ss],
             model.dtype)
         trees_t = [t._tree for t in rtrees]
-        if self._glut is not None:
+        if self._glut is not None and not self._tree_grouped:
             trees_t = [_group_tree(t, self._glut, self.num_parts)
                        for t in trees_t]
         if len(trees_t) > 1:

@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--trees", type=int, default=1)
     ap.add_argument("--seed", type=int, default=11)
     ap.add_argument("--eval-only", action="store_true")
+    ap.add_argument("--groups", action="store_true",
+                    help="train in 14-group label space (partgroups.py); "
+                    "writes the group LUT as the .partmap sidecar")
+    ap.add_argument("--balance", type=float, default=0.5,
+                    help="per-class pixel-sampling balance exponent")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -46,6 +51,16 @@ def main():
     intrin = CameraIntrin(fx=606.438, fy=606.351, cx=637.294, cy=366.992)
     model = synthetic_model(detail=6)
 
+    part_map = None
+    num_parts = 24
+    if args.groups:
+        from avatar_tpu.io import formats
+        from avatar_tpu.perception.partgroups import SMPL24_GROUP_LUT, \
+            SMPL24_GROUP_NAMES, SMPL24_NUM_GROUPS
+
+        part_map = np.asarray(SMPL24_GROUP_LUT, np.int32)
+        num_parts = SMPL24_NUM_GROUPS
+
     paths = []
     for t in range(args.trees):
         path = args.out if t == 0 else args.out.replace(
@@ -58,27 +73,37 @@ def main():
               file=sys.stderr)
         t0 = time.time()
         trainer = ForestTrainer(
-            model, intrin, (H, W), num_parts=24, num_images=args.images,
+            model, intrin, (H, W), num_parts=num_parts, part_map=part_map,
+            num_images=args.images,
             num_points_per_image=args.points, num_features=args.features,
             num_features_filtered=args.filtered,
             max_probe_offset=args.probe, min_samples=args.min_samples,
             max_tree_depth=args.depth, image_batch=8,
             seed=args.seed + 71 * t, verbose=True,
+            sample_balance=args.balance,
             checkpoint_path=path + ".ckpt")
         fd = trainer.train(resume_from=path + ".ckpt")
-        tree = RTree(24)
+        tree = RTree(num_parts)
         tree.set_forest(fd)
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         tree.export_file(path)
+        if args.groups:
+            src_names = [f"joint{j}" for j in range(24)]
+            formats.write_partmap(
+                path + ".partmap", formats.PARTMAP_CONTIGUOUS, src_names,
+                list(SMPL24_GROUP_NAMES),
+                {src_names[j]: SMPL24_GROUP_NAMES[part_map[j]]
+                 for j in range(24)})
         print(f"[train] tree {t} done in {time.time() - t0:.0f}s, "
               f"{fd.num_nodes} nodes -> {path}", file=sys.stderr)
 
     # ---- evaluation on held-out frames --------------------------------
     trees = [RTree(p) for p in paths if os.path.exists(p)]
     n_eval = 16
-    src = synth.make_source(model, intrin, n_images=n_eval, seed=4242)
-    total = np.zeros(24, np.int64)
-    correct = np.zeros(24, np.int64)
+    src = synth.make_source(model, intrin, part_map, n_images=n_eval,
+                            seed=4242)
+    total = np.zeros(num_parts, np.int64)
+    correct = np.zeros(num_parts, np.int64)
     for start in range(0, n_eval, 4):
         ids = jnp.arange(start, start + 4, dtype=jnp.int32)
         depth, mask, _ = synth.render_batch(
@@ -96,7 +121,7 @@ def main():
                 fg = dist.sum(-1) > 0
                 pred = np.where(fg, np.argmax(dist, -1), 255).astype(np.uint8)
             fg = (m != 255) & (pred != 255)
-            for p in range(24):
+            for p in range(num_parts):
                 sel = fg & (m == p)
                 total[p] += sel.sum()
                 correct[p] += (pred[sel] == p).sum()
