@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--no-part-groups", action="store_true",
                     help="strict per-part matching (reference semantics) "
                          "instead of group-level correspondence")
+    ap.add_argument("--profile-dir", default="",
+                    help="capture a jax.profiler device trace of the "
+                         "throughput pass into this directory")
     args = ap.parse_args()
 
     if args.quick:
@@ -205,19 +208,26 @@ def main():
     # run-to-run variance that says nothing about the pipeline itself
     tracker.timer.stats.clear()
     best_wall = np.inf
-    for _rep in range(3 if not args.quick else 1):
-        thetas = []
-        tracked = 0
-        t_all0 = time.perf_counter()
-        for i, (scene, mask) in enumerate(frames):
-            res = tracker.track_async(
-                scene, labels_override=None if use_forest else mask)
-            if res is None or res.ok:
-                tracked += 1
-            thetas.append(tracker._theta)
-        tracker.flush()
-        wall = time.perf_counter() - t_all0
-        best_wall = min(best_wall, wall)
+    import contextlib
+
+    from avatar_tpu.profiling import device_trace
+    prof = (device_trace(args.profile_dir) if args.profile_dir
+            else contextlib.nullcontext())
+    with prof:
+        for _rep in range(1 if args.profile_dir else
+                          (3 if not args.quick else 1)):
+            thetas = []
+            tracked = 0
+            t_all0 = time.perf_counter()
+            for i, (scene, mask) in enumerate(frames):
+                res = tracker.track_async(
+                    scene, labels_override=None if use_forest else mask)
+                if res is None or res.ok:
+                    tracked += 1
+                thetas.append(tracker._theta)
+            tracker.flush()
+            wall = time.perf_counter() - t_all0
+            best_wall = min(best_wall, wall)
     wall = best_wall
 
     fps = n_frames / wall
