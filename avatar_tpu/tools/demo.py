@@ -56,6 +56,14 @@ def build_parser():
     ap.add_argument("--metrics", default="",
                     help="write per-frame metrics JSONL here (stage ms, "
                          "per-part match counts, fit cost, reinit events)")
+    ap.add_argument("--part-groups", action="store_true",
+                    help="group-level correspondence for 24-part SMPL trees "
+                         "(perception/partgroups.py)")
+    ap.add_argument("--beta-temp", type=float, default=0.0,
+                    help="temporal pose-prior weight (fused tracker)")
+    ap.add_argument("--no-render-labels", action="store_true",
+                    help="disable the model-predicted label override "
+                         "(fused tracker; on by default with a forest)")
     add_model_args(ap)
     return ap
 
@@ -76,13 +84,20 @@ def main(argv=None):
 
     first = ds.xyz(args.image)
     H, W = first.shape[:2]
+    part_groups = None
+    if args.part_groups:
+        from avatar_tpu.perception.partgroups import SMPL24_GROUP_LUT
+
+        part_groups = tuple(SMPL24_GROUP_LUT)
     cfg = TrackerConfig(
         beta_pose=args.betapose, beta_shape=args.betashape,
         data_interval=args.data_interval,
         frame_icp_iters=args.frame_icp_iters,
         reinit_icp_iters=args.reinit_icp_iters,
         iters_per_icp=args.inner_iters, min_points=args.min_points,
-        enable_occlusion=not args.no_occlusion)
+        enable_occlusion=not args.no_occlusion,
+        part_groups=part_groups, beta_temp=args.beta_temp,
+        render_labels=not args.no_render_labels)
     if args.fused:
         from avatar_tpu.tracking_fused import FusedTracker
 

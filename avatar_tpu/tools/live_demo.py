@@ -48,6 +48,12 @@ def build_parser():
     ap.add_argument("--fused", action="store_true")
     ap.add_argument("--metrics", default="",
                     help="write per-frame metrics JSONL here")
+    ap.add_argument("--part-groups", action="store_true",
+                    help="group-level correspondence for 24-part SMPL trees")
+    ap.add_argument("--beta-temp", type=float, default=0.0,
+                    help="temporal pose-prior weight (fused tracker)")
+    ap.add_argument("--no-render-labels", action="store_true",
+                    help="disable the model-predicted label override")
     add_model_args(ap)
     return ap
 
@@ -60,6 +66,11 @@ def main(argv=None):
     H, W = cam.image_size()
     rtree = RTree(args.rtree) if args.rtree else None
 
+    part_groups = None
+    if args.part_groups:
+        from avatar_tpu.perception.partgroups import SMPL24_GROUP_LUT
+
+        part_groups = tuple(SMPL24_GROUP_LUT)
     cfg = TrackerConfig(
         beta_pose=args.betapose, beta_shape=args.betashape,
         data_interval=args.data_interval,
@@ -69,7 +80,10 @@ def main(argv=None):
         iters_per_icp=args.inner_iters, min_points=args.min_points,
         nn_dist_thresh_rel=args.nn_dist,
         neighb_thresh_rel=args.neighb_dist,
-        dist_to_pre_weight=args.dist_to_pre_weight)
+        dist_to_pre_weight=args.dist_to_pre_weight,
+        part_groups=part_groups,
+        beta_temp=args.beta_temp,
+        render_labels=not args.no_render_labels)
     if args.fused:
         from avatar_tpu.tracking_fused import FusedTracker
 

@@ -1,51 +1,46 @@
-"""Per-stage device profiling of the fused tracking frame.
+"""Per-stage device timing of the fused frame pipeline (bench config).
 
-Times each device stage of the fused pipeline in isolation (forest walk,
-blob suppression / connected components, background subtraction, NN
-correspondence, full LM fit, whole fused frame) with block_until_ready
-timing, and optionally writes a jax.profiler trace for xprof.
+Times each stage as its own jitted program on the active backend (forest
+walk, background subtraction + CC, blob suppression, GN/LM fit, full fused
+frame) so the device budget is attributable.  Run on TPU for real numbers:
 
-    python scripts/profile_frame.py [--trees N] [--trace DIR]
+    python scripts/profile_frame.py [--window]
 """
 
 import argparse
 import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timeit(fn, n=20):
-    fn()  # compile
-    import jax
-
-    jax.block_until_ready(fn())
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn()
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n * 1e3
-
-
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--forest", default="data/bench_forest.srtr")
-    ap.add_argument("--trace", default="")
+    ap.add_argument("--window", action="store_true",
+                    help="time the tracked-window configuration")
     args = ap.parse_args()
-
+    if args.cpu:
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from avatar_tpu.core.model import Avatar
     from avatar_tpu.io.calibration import CameraIntrin
-    from avatar_tpu.perception.rtree import RTree
+    from avatar_tpu.perception.partgroups import SMPL24_GROUP_LUT
+    from avatar_tpu.perception.rtree import RTree, forest_walk, \
+        suppress_part_nonmax
+    from avatar_tpu.profiling import time_jitted
     from avatar_tpu.render.renderer import AvatarRenderer
     from avatar_tpu.testing import synthetic_model
     from avatar_tpu.tracking import TrackerConfig
-    from avatar_tpu.tracking_fused import FusedTracker
+    from avatar_tpu.tracking_fused import FusedTracker, fused_frame
 
     H, W = 720, 1280
     intrin = CameraIntrin(fx=606.438, fy=606.351, cx=637.294, cy=366.992)
@@ -57,113 +52,82 @@ def main():
     gt.r[0] = np.diag([-1.0, 1.0, -1.0])
     gt.update()
     rend = AvatarRenderer(gt, intrin)
-    depth = rend.render_depth((H, W))
-    bg = np.full((H, W), 4.0, np.float32)
-    scene = np.where(depth > 0, depth, bg)
-    scene_u16 = (scene * 1000).astype(np.uint16)
+    depth = np.asarray(rend.render_depth((H, W)))
+    scene = np.where(depth > 0, depth, 4.0).astype(np.float32)
 
-    forest = RTree(args.forest)
-    forest.partmap_type = 0
-    cfg = TrackerConfig(data_interval=6, min_points=1000, iters_per_icp=4,
-                        rtree_interval=3)
-    tracker = FusedTracker(model, intrin, (H, W), rtree=forest, config=cfg)
-    tracker.set_background(bg)
-    tracker.track(scene_u16)           # init + compile reinit path
-    tracker.track(scene_u16)           # compile steady-state path
+    tree = RTree(args.forest)
+    tree.partmap_type = 0
+    cfg = TrackerConfig(data_interval=6, min_points=1000, frame_icp_iters=3,
+                        iters_per_icp=4, label_conf_thresh=0.55,
+                        rtree_interval=3, beta_temp=0.3,
+                        render_label_tau=0.03,
+                        part_groups=tuple(SMPL24_GROUP_LUT),
+                        seg_window=(576, 448) if args.window else None)
+    tracker = FusedTracker(model, intrin, (H, W), rtree=tree, config=cfg)
+    tracker.set_background(np.full((H, W), 4.0, np.float32))
 
-    # --- whole fused frame -------------------------------------------------
-    xyz = jnp.asarray(tracker._pre_stride(scene_u16))
-
-    def whole():
-        out = tracker._run(xyz, jnp.zeros(tracker._proc_size, jnp.uint8),
-                           cfg.frame_icp_iters * cfg.iters_per_icp)
-        return out.theta.p
-
-    print(f"fused_frame total:      {timeit(whole):8.3f} ms")
-
-    # --- stages in isolation ------------------------------------------------
-    from avatar_tpu.perception.rtree import forest_walk, suppress_part_nonmax
-    from avatar_tpu.tracking_fused import _bg_subtract
-
-    hs = tracker._host_stride
-    d_s = (xyz.astype(jnp.float32) * 1e-3)
+    ss = tracker._host_stride
+    d_s = jnp.asarray(scene[::ss, ::ss])
     Hs, Ws = d_s.shape
-    fx = intrin.fx / hs
-
-    tree = tracker._tree
     tl = jnp.asarray([0, 0], jnp.int32)
     br = jnp.asarray([Ws - 1, Hs - 1], jnp.int32)
+    t = tracker._tree
 
-    def walk_full():
-        return forest_walk(tree, d_s, tracker._max_depth, 1, tl, br)
+    # -- forest walk ---------------------------------------------------------
+    md = tracker._max_depth
+    r = time_jitted(lambda: forest_walk(t, d_s, md, 1, tl, br))
+    print(f"forest_walk[{Hs}x{Ws}]      : {r['min_ms']:.2f} ms")
+    if args.window:
+        wh, ww = (448 // ss, 576 // ss)
+        win = d_s[:wh, :ww]
+        r = time_jitted(lambda: forest_walk(t, win, md, 1, tl, br,
+                                            probe_img=d_s,
+                                            origin=(jnp.asarray(0), jnp.asarray(0))))
+        print(f"forest_walk[win {wh}x{ww}]: {r['min_ms']:.2f} ms")
 
-    print(f"forest walk (full {Hs}x{Ws}): {timeit(walk_full):8.3f} ms")
+    # -- bg subtraction + CC -------------------------------------------------
+    from avatar_tpu.tracking_fused import _bg_subtract
 
-    wh, ww = (min(cfg.seg_window[0] // hs, Hs), min(cfg.seg_window[1] // hs, Ws))
-    win = d_s[:wh, :ww]
+    xyz = jnp.stack([d_s, d_s, d_s], axis=-1)
+    bg = jnp.stack([tracker._bg] * 3, axis=-1)
+    f_bg = jax.jit(lambda a, b: _bg_subtract(a, b, 0.02, 0.02, 10))
+    r = time_jitted(f_bg, xyz, bg)
+    print(f"bgsub+cc[{Hs}x{Ws}]        : {r['min_ms']:.2f} ms")
 
-    def walk_win():
-        return forest_walk(tree, win, tracker._max_depth, 1, tl, br,
-                           probe_img=d_s, origin=(jnp.asarray(0), jnp.asarray(0)))
+    # -- blob suppression ----------------------------------------------------
+    lab = jnp.zeros((Hs // 2, Ws // 2), jnp.uint8)
+    com = jnp.zeros((2, tracker.num_parts), jnp.float32)
+    r = time_jitted(lambda: suppress_part_nonmax(
+        lab, com, tracker.num_parts, ss * 2, 0.001,
+        jnp.asarray([0, 0], jnp.int32)))
+    print(f"blob_suppress            : {r['min_ms']:.2f} ms")
 
-    print(f"forest walk (win {wh}x{ww}):  {timeit(walk_win):8.3f} ms")
-
-    labels = jnp.where(d_s > 0, jnp.uint8(1), jnp.uint8(255))
-
-    def blobs():
-        lab_c = labels[::2, ::2]
-        return suppress_part_nonmax(lab_c, tracker.com_pre, tracker.num_parts,
-                                    hs * 2, 0.001,
-                                    jnp.asarray([0, 0], jnp.int32))[0]
-
-    print(f"blob suppression (CC):  {timeit(blobs):8.3f} ms")
-
-    xs = (jnp.arange(Ws, dtype=jnp.float32))[None, :]
-    ys = (jnp.arange(Hs, dtype=jnp.float32))[:, None]
-    xyz3 = jnp.stack([(xs - intrin.cx / hs) * d_s / fx,
-                      (ys - intrin.cy / hs) * d_s / fx, d_s], -1)
-    bg_s = jnp.asarray(tracker._bg)
-    bg3 = jnp.stack([(xs - intrin.cx / hs) * bg_s / fx,
-                     (ys - intrin.cy / hs) * bg_s / fx, bg_s], -1)
-
-    def bgsub():
-        return _bg_subtract(xyz3, bg3, jnp.asarray(0.02), jnp.asarray(0.02),
-                            jnp.asarray(50, jnp.int32))
-
-    print(f"bg subtraction:         {timeit(bgsub):8.3f} ms")
-
-    # --- fit ------------------------------------------------------------------
+    # -- fit (12 steps, bench operating point) ------------------------------
     from avatar_tpu.optim.gauss_newton import fit
 
     rng = np.random.default_rng(0)
-    nv = model.num_points()
-    idx = rng.choice(nv, 4096, replace=False)
+    npts = 4096
+    pad = 8192
+    idx = rng.choice(model.num_points(), npts, replace=False)
     mp = np.asarray(tracker._ctx.model_part)
-    ava = tracker.sync_avatar()
-    pts = jnp.zeros((8192, 3), jnp.float32).at[:4096].set(
-        jnp.asarray(ava.cloud[idx] + rng.normal(0, 0.002, (4096, 3)),
-                    jnp.float32))
-    parts = jnp.full((8192,), -1, jnp.int32).at[:4096].set(
-        jnp.asarray(mp[idx], jnp.int32))
+    pts = np.zeros((pad, 3), np.float32)
+    pts[:npts] = gt.cloud[idx] + rng.normal(0, 0.002, (npts, 3))
+    parts = np.full(pad, -1, np.int32)
+    parts[:npts] = mp[idx]
     th = tracker._theta
+    r = time_jitted(lambda: fit(
+        tracker._ctx, model.parents, jnp.asarray(pts), jnp.asarray(parts),
+        th, jnp.asarray(0.05, jnp.float32), jnp.asarray(0.12, jnp.float32),
+        n_steps=12, num_parts=tracker.num_parts))
+    print(f"fit[12 steps, pad {pad}] : {r['min_ms']:.2f} ms")
 
-    def fit12():
-        out = fit(tracker._ctx, model.parents, pts, parts, th,
-                  jnp.asarray(0.03, jnp.float32), jnp.asarray(0.12, jnp.float32),
-                  n_steps=12, num_parts=tracker.num_parts,
-                  plane_weight=jnp.asarray(1.0, jnp.float32),
-                  huber_k=jnp.asarray(3.0, jnp.float32),
-                  robust_per_part=True)
-        return out[0].p
-
-    print(f"fit (12 LM steps):      {timeit(fit12):8.3f} ms")
-
-    if args.trace:
-        import jax.profiler
-
-        with jax.profiler.trace(args.trace):
-            jax.block_until_ready(whole())
-        print(f"trace written to {args.trace}")
+    # -- full fused frame ----------------------------------------------------
+    u16 = jnp.asarray((np.asarray(d_s) * 1000).astype(np.uint16))
+    lab0 = jnp.zeros((Hs, Ws), jnp.uint8)
+    out = tracker._run(u16, lab0, 12)
+    jax.block_until_ready(out)
+    r = time_jitted(lambda: tracker._run(u16, lab0, 12))
+    print(f"fused_frame (device)     : {r['min_ms']:.2f} ms")
 
 
 if __name__ == "__main__":
