@@ -248,7 +248,9 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
         num_parts: int = 0,
         huber_k: jnp.ndarray | float = 1.5,
         robust_per_part: bool = False,
-        beta_temp: jnp.ndarray | float = 0.0) -> Tuple[Theta, FitDiag]:
+        beta_temp: jnp.ndarray | float = 0.0,
+        clamp_angle: jnp.ndarray | float = 0.0,
+        clamp_support: jnp.ndarray | float = 10.0) -> Tuple[Theta, FitDiag]:
     """Full avatar fit (the reference's AvatarOptimizer::optimize) as one
     jitted program.
 
@@ -472,5 +474,29 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
     matched_f = corr_final >= 0
     pidx = jnp.where(matched_f, jnp.clip(data_part, 0, NP - 1), NP)
     part_counts = jnp.zeros(NP + 1, jnp.int32).at[pidx].add(1)[:NP]
+
+    # Per-joint motion clamp: joints whose subtree matched almost no data
+    # points must not rotate more than clamp_angle from the frame-start
+    # pose in one fit -- a handful of mislabels plus the pose prior can
+    # otherwise swing a whole unobserved limb in a single frame.  Observed
+    # joints are untouched.
+    w_clamp = jnp.asarray(clamp_angle, dtype)
+    if True:  # cheap; w_clamp == 0 degenerates to identity below
+        cidx_f = jnp.maximum(corr_final, 0)
+        vcnt = jnp.zeros(P + 1, dtype).at[
+            jnp.where(matched_f, cidx_f, P)].add(1.0)[:-1]        # [P]
+        subtree_w = jnp.einsum("pk,jk->pj", ctx.lbs.weights, ctx.anc_mask,
+                               precision=_HI)                    # [P,J]
+        support = jnp.einsum("p,pj->j", vcnt, subtree_w,
+                             precision=_HI)                      # [J]
+        aa_rel = rotation.so3_log(jnp.einsum(
+            "jab,jcb->jac", theta.rots, theta0.rots, precision=_HI))
+        ang = jnp.linalg.norm(aa_rel, axis=-1, keepdims=True)
+        lim = jnp.where((support[:, None] < clamp_support) & (w_clamp > 0),
+                        jnp.minimum(1.0, w_clamp / jnp.maximum(ang, 1e-9)),
+                        1.0)
+        rots_c = jnp.einsum("jab,jbc->jac", rotation.so3_exp(aa_rel * lim),
+                            theta0.rots, precision=_HI)
+        theta = Theta(p=theta.p, rots=rots_c, w=theta.w)
     return theta, FitDiag(cost=cost, n_matched=n_matched,
                           inner_iters=accepted, part_counts=part_counts)

@@ -41,6 +41,20 @@ SMPL24_GROUP_NAMES = (
     "r_hand")
 
 
+# Limb-recovery chain roots (tracking resilience, SURVEY §5.3): for each
+# recoverable extremity group, the joint whose rotation re-aims the limb —
+# calves re-aim at the hip, feet at the knee, forearms at the shoulder.
+# Hands are deliberately NOT recoverable: forests essentially never segment
+# hands reliably, so a "hand" blob is almost always a mislabel, and aiming
+# the elbow at one throws the whole arm (hands follow the wrist via the
+# temporal prior once the forearm recovers).
+SMPL24_GROUP_CHAIN_ROOT = {
+    4: 1, 5: 2,       # l/r calf    <- hip
+    6: 4, 7: 5,       # l/r foot    <- knee
+    10: 16, 11: 17,   # l/r forearm <- shoulder
+}
+
+
 def group_label_lut(lut: np.ndarray) -> np.ndarray:
     """[256] uint8 label LUT (255 background stays 255) for host/device
     mapping of part-label images."""

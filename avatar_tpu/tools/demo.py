@@ -59,8 +59,9 @@ def build_parser():
     ap.add_argument("--part-groups", action="store_true",
                     help="group-level correspondence for 24-part SMPL trees "
                          "(perception/partgroups.py)")
-    ap.add_argument("--beta-temp", type=float, default=0.0,
-                    help="temporal pose-prior weight (fused tracker)")
+    ap.add_argument("--beta-temp", type=float, default=None,
+                    help="temporal pose-prior weight (fused tracker; "
+                         "default from TrackerConfig)")
     ap.add_argument("--no-render-labels", action="store_true",
                     help="disable the model-predicted label override "
                          "(fused tracker; on by default with a forest)")
@@ -96,7 +97,9 @@ def main(argv=None):
         reinit_icp_iters=args.reinit_icp_iters,
         iters_per_icp=args.inner_iters, min_points=args.min_points,
         enable_occlusion=not args.no_occlusion,
-        part_groups=part_groups, beta_temp=args.beta_temp,
+        part_groups=part_groups,
+        **({} if args.beta_temp is None
+           else dict(beta_temp=args.beta_temp)),
         render_labels=not args.no_render_labels)
     if args.fused:
         from avatar_tpu.tracking_fused import FusedTracker

@@ -50,8 +50,9 @@ def build_parser():
                     help="write per-frame metrics JSONL here")
     ap.add_argument("--part-groups", action="store_true",
                     help="group-level correspondence for 24-part SMPL trees")
-    ap.add_argument("--beta-temp", type=float, default=0.0,
-                    help="temporal pose-prior weight (fused tracker)")
+    ap.add_argument("--beta-temp", type=float, default=None,
+                    help="temporal pose-prior weight (fused tracker; "
+                         "default from TrackerConfig)")
     ap.add_argument("--no-render-labels", action="store_true",
                     help="disable the model-predicted label override")
     add_model_args(ap)
@@ -82,7 +83,8 @@ def main(argv=None):
         neighb_thresh_rel=args.neighb_dist,
         dist_to_pre_weight=args.dist_to_pre_weight,
         part_groups=part_groups,
-        beta_temp=args.beta_temp,
+        **({} if args.beta_temp is None
+           else dict(beta_temp=args.beta_temp)),
         render_labels=not args.no_render_labels)
     if args.fused:
         from avatar_tpu.tracking_fused import FusedTracker

@@ -55,8 +55,10 @@ class TrackerConfig:
     seg_window: Optional[tuple] = (576, 448)
     enable_occlusion: bool = True
     point_weight: float = 1.0
-    plane_weight: float = 1.0     # point-to-plane term ON (halves joint err
-                                  # under motion vs point-to-point only)
+    plane_weight: float = 2.0     # point-to-plane term upweighted 2x (at
+                                  # 1.0 the oracle-label joint error is
+                                  # ~13 mm on the bench sequence, at 2.0
+                                  # ~8 mm; halves forest-label error too)
     robust: bool = True
     huber_k: float = 3.0          # Huber delta = huber_k * robust scale
     robust_per_part: bool = True  # per-body-part robust scale (see
@@ -69,12 +71,12 @@ class TrackerConfig:
     # pose's part mask on device and override forest labels where measured
     # depth agrees with the render within render_label_tau meters
     render_labels: bool = True
-    render_label_tau: float = 0.06
+    render_label_tau: float = 0.03
     # temporal pose prior weight (FusedTracker): damps per-joint rotation
     # change from the frame-start pose; joints without data support follow
     # their parent instead of free-wheeling.  Same sqrt(n)/15 scaling as
     # beta_pose
-    beta_temp: float = 0.0
+    beta_temp: float = 0.3
     # extremity-dense sampling (FusedTracker, requires part_groups): up to
     # extremity_boost_n extra data samples of the listed groups at full
     # segmentation resolution, so thin limbs aren't starved by the coarse
@@ -82,6 +84,20 @@ class TrackerConfig:
     # lists calves/feet/forearms/hands of SMPL24_GROUP_LUT)
     extremity_boost_n: int = 1024
     extremity_boost_groups: tuple = (4, 5, 6, 7, 10, 11, 12, 13)
+    # per-limb recovery (FusedTracker, requires part_groups): when an
+    # extremity group matched zero data points for limb_recovery_frames
+    # consecutive frames while the forest still sees its blob, re-aim the
+    # limb chain at the blob's backprojection (SURVEY §5.3 resilience; the
+    # reference can only do whole-body reinit)
+    limb_recovery: bool = True
+    limb_recovery_frames: int = 3
+    # mis-aim threshold: blob-backprojection vs model-centroid 3D distance
+    # (meters) that also counts as a starved frame
+    limb_recovery_m: float = 0.12
+    # per-joint motion clamp (FusedTracker): max rotation change per frame
+    # for joints whose subtree matched almost no data (gauss_newton.fit);
+    # 0 disables
+    pose_clamp_angle: float = 0.25
 
 
 @dataclasses.dataclass

@@ -45,6 +45,11 @@ class FrameOut(NamedTuple):
     labels_strided: jnp.ndarray  # [Hs, Ws] uint8 (diagnostics / viz)
     part_counts: jnp.ndarray     # [num_parts] matched data pts per part
     n_matched: jnp.ndarray       # data points matched in the final NN set
+    # per-part model centroids [num_parts, 5] (px, py, X, Y, Z) at the
+    # frame-start pose (proc pixels + avatar-frame meters); px < 0 where a
+    # part has no vertices.  Used by the host-side per-limb recovery to
+    # detect mis-aimed limbs
+    model_com: jnp.ndarray = None
 
 
 def _bg_subtract(xyz_s, bg_s, nn_t, nb_t, min_pts, cc_sub: int = 4):
@@ -103,6 +108,7 @@ def fused_frame(ctx: FitContext, tree: Optional[TreeTensors],
                 use_render_labels: bool = False,
                 render_tau: float = 0.06,
                 beta_temp: float = 0.0,
+                clamp_angle: float = 0.0,
                 boost_n: int = 0,
                 boost_groups: Tuple[int, ...] = ()) -> FrameOut:
     """One tracked frame, fully on device.
@@ -197,6 +203,22 @@ def fused_frame(ctx: FitContext, tree: Optional[TreeTensors],
         labels_s = labels_full[::seg_stride, ::seg_stride]
         labels_s = jnp.where(depth_s > 0, labels_s, jnp.uint8(255))
 
+    model_com = jnp.full((num_parts, 5), -1.0, depth_s.dtype)
+    if use_forest:
+        # per-part model centroids at theta0 (for mis-aim detection in the
+        # host-side limb recovery)
+        from avatar_tpu.render.raster import project_points as _pp
+
+        x_prev0 = _forward(ctx, parents, theta0, use_jsr)[0]
+        proj0 = _pp(x_prev0, fx, fy, cx, cy)
+        gacc = jnp.zeros((num_parts + 1, 6), depth_s.dtype).at[
+            jnp.clip(ctx.model_part, 0, num_parts)].add(
+            jnp.concatenate([proj0, x_prev0,
+                             jnp.ones_like(proj0[:, :1])], axis=1))
+        gn = jnp.maximum(gacc[:num_parts, 5:], 1.0)
+        model_com = jnp.where(gacc[:num_parts, 5:] > 0,
+                              gacc[:num_parts, :5] / gn, -1.0)
+
     if use_render_labels:
         # Model-predicted labels: render the previous pose's part mask on
         # the strided grid (the device raster costs ~1 ms here — the
@@ -205,14 +227,11 @@ def fused_frame(ctx: FitContext, tree: Optional[TreeTensors],
         # depth agrees with the rendered depth within render_tau.  The
         # forest stays authoritative where the model and data disagree, so
         # drift is still corrected by the independent per-frame signal.
-        from avatar_tpu.render.raster import default_budget, project_points, \
-            rasterize
+        from avatar_tpu.render.raster import default_budget, rasterize
 
         Hs, Ws = depth_s.shape
-        x_prev = _forward(ctx, parents, theta0, use_jsr)[0]     # [P, 3]
-        proj = project_points(x_prev, fx, fy, cx, cy)
         F = ctx.faces.shape[0]
-        rast = rasterize(proj, x_prev[:, 2], ctx.faces, Hs, Ws,
+        rast = rasterize(proj0, x_prev0[:, 2], ctx.faces, Hs, Ws,
                          default_budget(Hs, Ws, F))
         face_grp = ctx.model_part[ctx.faces[:, 0]]              # [F]
         rl = jnp.where(rast.fid >= 0,
@@ -290,10 +309,12 @@ def fused_frame(ctx: FitContext, tree: Optional[TreeTensors],
                       beta_shape, n_steps=n_steps, use_jsr=use_jsr,
                       num_parts=num_parts, point_weight=point_weight,
                       plane_weight=plane_weight, huber_k=huber_k,
-                      robust_per_part=robust_per_part, beta_temp=beta_temp)
+                      robust_per_part=robust_per_part, beta_temp=beta_temp,
+                      clamp_angle=clamp_angle)
     return FrameOut(theta=theta, com_pre=com_new, n_points=n_points,
                     cost=diag.cost, labels_strided=labels_s,
-                    part_counts=diag.part_counts, n_matched=diag.n_matched)
+                    part_counts=diag.part_counts, n_matched=diag.n_matched,
+                    model_com=model_com)
 
 
 def _group_tree(t: TreeTensors, lut: np.ndarray, ng: int) -> TreeTensors:
@@ -391,7 +412,8 @@ class FusedTracker:
             # a forest trained directly in group space ships the group LUT
             # as its .partmap sidecar (the reference's part-map mechanism,
             # RTree.h:150-166); its leaves need no folding and model_part
-            # is already group-valued via part_map above
+            # is already group-valued via part_map above.  Mixed bags
+            # (grouped + ungrouped trees) are handled per tree below.
             tree_grouped = (rtree is not None and
                             np.array_equal(part_map[:len(self._glut)],
                                            self._glut))
@@ -438,10 +460,18 @@ class FusedTracker:
         self._intrin4 = jnp.asarray(
             [intrin.fx / ss, intrin.fy / ss, intrin.cx / ss, intrin.cy / ss],
             model.dtype)
-        trees_t = [t._tree for t in rtrees]
-        if self._glut is not None and not self._tree_grouped:
-            trees_t = [_group_tree(t, self._glut, self.num_parts)
-                       for t in trees_t]
+        trees_t = []
+        for rt in rtrees:
+            t = rt._tree
+            if (self._glut is not None and
+                    rt.num_parts == len(self._glut)):
+                t = _group_tree(t, self._glut, self.num_parts)
+            elif self._glut is not None and rt.num_parts != self.num_parts:
+                raise ValueError(
+                    f"tree with {rt.num_parts} parts fits neither the "
+                    f"source ({len(self._glut)}) nor group "
+                    f"({self.num_parts}) label space")
+            trees_t.append(t)
         if len(trees_t) > 1:
             self._tree = _stack_trees(trees_t, ss)
         elif trees_t:
@@ -532,6 +562,8 @@ class FusedTracker:
             # reinit fit exists to do
             beta_temp=jnp.asarray(0.0 if is_reinit else c.beta_temp,
                                   self.model.dtype),
+            clamp_angle=jnp.asarray(0.0 if is_reinit else c.pose_clamp_angle,
+                                    self.model.dtype),
             boost_n=self._boost_n,
             boost_groups=tuple(c.extremity_boost_groups))
 
@@ -614,6 +646,8 @@ class FusedTracker:
 
         self._theta = out.theta
         self.com_pre = out.com_pre
+        if not reinitialized:
+            self._limb_recovery(out, depth_np)
         res = TrackResult(ok=True, reinitialized=reinitialized,
                           n_points=n_points,
                           fit_info=self._fit_info(out))
@@ -656,6 +690,10 @@ class FusedTracker:
         self._pending = out
         if prev is None:
             return None
+        # recovery decisions read the PREVIOUS frame's (already finished)
+        # diagnostics so the just-dispatched frame stays in flight; a
+        # triggered recovery syncs once, which is fine for a rare event
+        self._limb_recovery(prev, depth_np)
         n_points = int(prev.n_points)              # prev has long finished
         if n_points < c.min_points / (c.data_interval ** 2):
             self.reinit = True
@@ -715,6 +753,117 @@ class FusedTracker:
                 rec[f"{k}_ms"] = round(v[-1], 3)
         f.write(self._metrics_json.dumps(rec) + "\n")
         self._metrics_frame += 1
+
+    # -- per-limb recovery (SURVEY §5.3) ------------------------------------
+
+    def _limb_recovery(self, out: FrameOut, depth_np: np.ndarray) -> None:
+        """Re-aim starved extremity chains at their forest blobs.
+
+        A limb that loses correspondence never recovers on its own: the fit
+        has no residuals for it and the temporal prior holds it in place.
+        The forest, however, usually still sees the limb's blob (com_pre).
+        After ``limb_recovery_frames`` consecutive zero-match frames for a
+        recoverable group, rotate its chain-root joint so the limb's
+        centroid points at the blob's backprojection; the next frame's fit
+        refines from there.  The reference's only tool here is whole-body
+        reinitialization (live-demo.cpp 'r' key / lost-track path).
+        """
+        c = self.config
+        if (not c.limb_recovery or self._glut is None
+                or self.rtree is None):
+            return
+        from avatar_tpu.perception.partgroups import SMPL24_GROUP_CHAIN_ROOT
+
+        pc = np.asarray(out.part_counts)
+        com = np.asarray(out.com_pre)
+        starve = getattr(self, "_starve", None)
+        if starve is None:
+            starve = self._starve = np.zeros(self.num_parts, np.int32)
+        mp = np.asarray(self._ctx.model_part)
+        parents = self.model.parents
+        i = self.intrin
+        hs = self._host_stride
+        rots = None
+        changed = False
+        mcom = (np.asarray(out.model_com) if out.model_com is not None
+                else np.full((self.num_parts, 5), -1.0))
+        Hp, Wp = depth_np.shape[:2]
+
+        def blob_target(g):
+            """Backproject group g's blob CoM (median depth patch)."""
+            if com[0, g] < 0:
+                return None
+            ix, iy = int(com[0, g]), int(com[1, g])   # proc-space pixels
+            if not (0 <= ix < Wp and 0 <= iy < Hp):
+                return None
+            patch = depth_np[max(iy - 2, 0): iy + 3,
+                             max(ix - 2, 0): ix + 3].astype(np.float32)
+            vals = patch[patch > 0]
+            if vals.size == 0:
+                return None
+            z = float(np.median(vals))
+            if depth_np.dtype == np.uint16:
+                z *= 1e-3
+            return np.array([(ix * hs - i.cx) * z / i.fx,
+                             -(iy * hs - i.cy) * z / i.fy, z])
+
+        for g, root in SMPL24_GROUP_CHAIN_ROOT.items():
+            if g >= self.num_parts:
+                continue
+            target = blob_target(g)
+            misaimed = (target is not None and mcom[g, 0] >= 0 and
+                        float(np.linalg.norm(target - mcom[g, 2:5]))
+                        > c.limb_recovery_m)
+            if pc[g] > 0 and not misaimed:
+                starve[g] = 0
+                continue
+            starve[g] += 1
+            if starve[g] < c.limb_recovery_frames or target is None:
+                continue
+            if rots is None:
+                ava = self.sync_avatar()
+                verts, joints = ava.cloud, ava.joint_pos
+                rots = np.asarray(self._theta.rots, np.float64).copy()
+                J = len(parents)
+                Rg = np.zeros((J, 3, 3))
+                Rg[0] = rots[0]
+                for j in range(1, J):
+                    Rg[j] = Rg[parents[j]] @ rots[j]
+            sel = mp == g
+            if not sel.any():
+                continue
+            v_cur = verts[sel].mean(0) - joints[root]
+            v_new = target - joints[root]
+            n1 = np.linalg.norm(v_cur)
+            n2 = np.linalg.norm(v_new)
+            if n1 < 1e-6 or n2 < 1e-6:
+                continue
+            # anatomical reach gate: a blob the limb cannot physically
+            # reach from its chain root is a mislabel, not a target
+            if not (0.4 * n1 <= n2 <= 1.6 * n1):
+                starve[g] = 0
+                continue
+            cosang = float(np.clip(v_cur @ v_new / (n1 * n2), -1.0, 1.0))
+            ang = float(np.arccos(cosang))
+            if ang < 0.15:            # already aimed; let the fit handle it
+                continue
+            axis = np.cross(v_cur, v_new)
+            na = np.linalg.norm(axis)
+            if na < 1e-9:
+                continue
+            k = axis / na
+            K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]],
+                          [-k[1], k[0], 0]])
+            A = np.eye(3) + np.sin(ang) * K + (1 - np.cos(ang)) * (K @ K)
+            C = Rg[parents[root]] if parents[root] >= 0 else np.eye(3)
+            rots[root] = C.T @ A @ C @ rots[root]
+            starve[g] = 0
+            changed = True
+        if changed:
+            self._theta = Theta(
+                p=self._theta.p,
+                rots=jnp.asarray(rots, self.model.dtype),
+                w=self._theta.w)
 
     def sync_avatar(self) -> Avatar:
         """Materialize the device-side pose into self.ava (host)."""

@@ -95,8 +95,10 @@ def main():
 
     tree = None
     if not args.oracle:
-        tree = RTree(args.forest)
-        tree.partmap_type = 0
+        trees = [RTree(p) for p in args.forest.split(",")]
+        for t in trees:
+            t.partmap_type = 0
+        tree = trees if len(trees) > 1 else trees[0]
     cfg_kw = dict(data_interval=6, min_points=1000, frame_icp_iters=3,
                   reinit_icp_iters=6, initial_icp_iters=7, iters_per_icp=4,
                   label_conf_thresh=0.55, rtree_interval=3,
