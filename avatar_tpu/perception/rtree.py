@@ -59,6 +59,55 @@ def _tree_depth(lnode, rnode, leafid) -> int:
     return maxd
 
 
+def walk_pixels(tree: TreeTensors, ys, xs, z, fg, probe_flat,
+                probe_shape, max_depth: int, top_left,
+                bot_right) -> jnp.ndarray:
+    """Tree walk over an arbitrary set of pixels (any shape).
+
+    ys/xs: pixel coordinates in probe-image space; z: their depths (>0
+    foreground); fg: bool validity; probe_flat: flattened probe image.
+    Returns leaf ids (-1 where not fg).  This is the core of forest_walk,
+    exposed separately so callers can walk a *compacted* foreground subset
+    instead of a dense grid (the walk is gather-bound: cost scales with
+    pixel count, and a tracked window is ~85% background).
+    """
+    Hp, Wp = probe_shape
+    tlx, tly = top_left[0], top_left[1]
+    brx, bry = bot_right[0], bot_right[1]
+    zsafe = jnp.where(fg, z, 1.0)
+
+    def probe(off):
+        px = xs + off[..., 0]
+        py = ys + off[..., 1]
+        inside = (px >= tlx) & (px <= brx) & (py >= tly) & (py <= bry)
+        pz = probe_flat[jnp.clip(py * Wp + px, 0, Hp * Wp - 1)]
+        pz = jnp.where(pz == 0.0, BACKGROUND_DEPTH, pz)
+        return jnp.where(inside, pz, BACKGROUND_DEPTH)
+
+    as_f = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+    packed = jnp.concatenate(
+        [tree.u, tree.v, tree.thresh[:, None], as_f(tree.lnode)[:, None],
+         as_f(tree.rnode)[:, None], as_f(tree.leafid)[:, None]], axis=1)
+
+    def step(_, node):
+        row = packed[node]           # [..., 8] one row gather
+        uu = row[..., 0:2]
+        vv = row[..., 2:4]
+        th = row[..., 4]
+        as_i = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+        is_leaf = as_i(row[..., 7]) >= 0
+        u_off = jnp.round(uu / zsafe[..., None]).astype(jnp.int32)
+        v_off = jnp.round(vv / zsafe[..., None]).astype(jnp.int32)
+        f = probe(u_off) - probe(v_off)
+        nxt = jnp.where(f < th, as_i(row[..., 5]), as_i(row[..., 6]))
+        return jnp.where(is_leaf, node, nxt)
+
+    node = jnp.zeros(ys.shape, jnp.int32)
+    node = jax.lax.fori_loop(0, max_depth, step, node)
+    leaf = tree.leafid[node]
+    return jnp.where(fg, leaf, -1)
+
+
 @functools.partial(jax.jit, static_argnames=("max_depth", "interval"))
 def forest_walk(tree: TreeTensors, depth_img: jnp.ndarray, max_depth: int,
                 interval: int, top_left, bot_right,
@@ -93,44 +142,10 @@ def forest_walk(tree: TreeTensors, depth_img: jnp.ndarray, max_depth: int,
     xs_l = (jnp.arange(Ws) * interval)[None, :]
     z = flatw[jnp.minimum(ys_l * W + xs_l, H * W - 1)]
     fg = (z > 0) & (xs >= tlx) & (xs <= brx) & (ys >= tly) & (ys <= bry)
-    zsafe = jnp.where(fg, z, 1.0)
-    flat = probe_img.reshape(-1)
-    H, W = Hp, Wp  # probe coordinate space
-
-    def probe(off):
-        # off: [Hs, Ws, 2] pixel offsets (already rounded ints)
-        px = xs + off[..., 0]
-        py = ys + off[..., 1]
-        inside = (px >= tlx) & (px <= brx) & (py >= tly) & (py <= bry)
-        pz = flat[jnp.clip(py * W + px, 0, H * W - 1)]
-        pz = jnp.where(pz == 0.0, BACKGROUND_DEPTH, pz)
-        return jnp.where(inside, pz, BACKGROUND_DEPTH)
-
-    # pack all per-node parameters into one [N, 8] row table so each walk
-    # step issues a single 32-byte row gather instead of six scalar gathers
-    # (int fields ride as bitcast f32 lanes)
-    as_f = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
-    packed = jnp.concatenate(
-        [tree.u, tree.v, tree.thresh[:, None], as_f(tree.lnode)[:, None],
-         as_f(tree.rnode)[:, None], as_f(tree.leafid)[:, None]], axis=1)
-
-    def step(_, node):
-        row = packed[node]           # [Hs, Ws, 8] one row gather
-        uu = row[..., 0:2]
-        vv = row[..., 2:4]
-        th = row[..., 4]
-        as_i = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
-        is_leaf = as_i(row[..., 7]) >= 0
-        u_off = jnp.round(uu / zsafe[..., None]).astype(jnp.int32)
-        v_off = jnp.round(vv / zsafe[..., None]).astype(jnp.int32)
-        f = probe(u_off) - probe(v_off)
-        nxt = jnp.where(f < th, as_i(row[..., 5]), as_i(row[..., 6]))
-        return jnp.where(is_leaf, node, nxt)
-
-    node = jnp.zeros((Hs, Ws), jnp.int32)
-    node = jax.lax.fori_loop(0, max_depth, step, node)
-    leaf = tree.leafid[node]
-    return jnp.where(fg, leaf, -1)
+    ys_b = jnp.broadcast_to(ys, (Hs, Ws))
+    xs_b = jnp.broadcast_to(xs, (Hs, Ws))
+    return walk_pixels(tree, ys_b, xs_b, z, fg, probe_img.reshape(-1),
+                       (Hp, Wp), max_depth, top_left, bot_right)
 
 
 @functools.partial(jax.jit, static_argnames=("interval",))

@@ -98,6 +98,10 @@ class TrackerConfig:
     # for joints whose subtree matched almost no data (gauss_newton.fit);
     # 0 disables
     pose_clamp_angle: float = 0.25
+    # track_async frames in flight: diagnostics (loss detection, limb
+    # recovery) read the result from pipeline_depth frames ago, hiding the
+    # device->host link round trip at the cost of detection lag
+    pipeline_depth: int = 2
 
 
 @dataclasses.dataclass

@@ -32,24 +32,41 @@ from avatar_tpu.core.model import Avatar, AvatarModel
 from avatar_tpu.optim.gauss_newton import FitContext, PriorData, Theta, \
     _forward, fit
 from avatar_tpu.perception import cc
-from avatar_tpu.perception.rtree import TreeTensors, forest_walk, \
-    suppress_part_nonmax
+from avatar_tpu.perception.rtree import TreeTensors, suppress_part_nonmax
 from avatar_tpu.utils import StageTimer
 
 
 class FrameOut(NamedTuple):
     theta: Theta
-    com_pre: jnp.ndarray     # [2, num_parts]
-    n_points: jnp.ndarray    # matched stride samples (pre-fit foreground)
-    cost: jnp.ndarray
+    com_pre: jnp.ndarray     # [2, num_parts] (device-chained to next frame)
     labels_strided: jnp.ndarray  # [Hs, Ws] uint8 (diagnostics / viz)
-    part_counts: jnp.ndarray     # [num_parts] matched data pts per part
-    n_matched: jnp.ndarray       # data points matched in the final NN set
-    # per-part model centroids [num_parts, 5] (px, py, X, Y, Z) at the
-    # frame-start pose (proc pixels + avatar-frame meters); px < 0 where a
-    # part has no vertices.  Used by the host-side per-limb recovery to
-    # detect mis-aimed limbs
-    model_com: jnp.ndarray = None
+    # ALL host-read diagnostics packed into ONE f32 vector so the host pays
+    # a single device->host copy per frame (each separate copy costs a full
+    # link round trip -- tens of ms on a remote tunnel):
+    #   [0] n_points  [1] cost  [2] n_matched
+    #   [3 : 3+G]            part_counts
+    #   [3+G : 3+3G]         com_pre (2, G)
+    #   [3+3G : 3+8G]        model_com (G, 5): px, py, X, Y, Z at theta0
+    host_diag: jnp.ndarray
+
+
+class HostDiag(NamedTuple):
+    n_points: int
+    cost: float
+    n_matched: int
+    part_counts: np.ndarray   # [G]
+    com_pre: np.ndarray       # [2, G]
+    model_com: np.ndarray     # [G, 5]
+
+
+def unpack_diag(vec, num_parts: int) -> HostDiag:
+    a = np.asarray(vec)
+    G = num_parts
+    return HostDiag(
+        n_points=int(a[0]), cost=float(a[1]), n_matched=int(a[2]),
+        part_counts=a[3:3 + G],
+        com_pre=a[3 + G:3 + 3 * G].reshape(2, G),
+        model_com=a[3 + 3 * G:3 + 8 * G].reshape(G, 5))
 
 
 def _bg_subtract(xyz_s, bg_s, nn_t, nb_t, min_pts, cc_sub: int = 4):
@@ -153,10 +170,14 @@ def fused_frame(ctx: FitContext, tree: Optional[TreeTensors],
         tree_scaled = tree._replace(u=tree.u / seg_stride,
                                     v=tree.v / seg_stride)
 
-        def walk(img, probe_img=None, origin=None):
+        from avatar_tpu.perception.rtree import walk_pixels
+
+        def walk_set(pys, pxs, pz, pfg):
+            """Conf-gated best label over an arbitrary pixel set."""
             if not multi:
-                leaf = forest_walk(tree_scaled, img, max_depth, 1, tl, br,
-                                   probe_img=probe_img, origin=origin)
+                leaf = walk_pixels(tree_scaled, pys, pxs, pz, pfg,
+                                   depth_s.reshape(-1), (Hs, Ws),
+                                   max_depth, tl, br)
                 keep = (leaf >= 0) & (
                     tree.leaf_conf[jnp.maximum(leaf, 0)] >= conf_thresh)
                 return jnp.where(keep,
@@ -166,23 +187,24 @@ def fused_frame(ctx: FitContext, tree: Optional[TreeTensors],
             # (rtree-run.cpp:92-121), then argmax + confidence gate
             axes = TreeTensors(*([0] * len(TreeTensors._fields)))
             leafs = jax.vmap(
-                lambda tt: forest_walk(tt, img, max_depth, 1, tl, br,
-                                       probe_img=probe_img, origin=origin),
-                in_axes=(axes,))(tree_scaled)          # [T, h, w]
+                lambda tt: walk_pixels(tt, pys, pxs, pz, pfg,
+                                       depth_s.reshape(-1), (Hs, Ws),
+                                       max_depth, tl, br),
+                in_axes=(axes,))(tree_scaled)          # [T, K]
             dist = jax.vmap(lambda lf, ld: jnp.where(
                 (lf >= 0)[..., None], ld[jnp.maximum(lf, 0)], 0.0))(
-                leafs, tree.leaf_data)                 # [T, h, w, P]
+                leafs, tree.leaf_data)                 # [T, K, P]
             votes = jnp.sum((leafs >= 0).astype(dist.dtype), axis=0)
-            dsum = jnp.sum(dist, axis=0)               # [h, w, P]
+            dsum = jnp.sum(dist, axis=0)               # [K, P]
             conf = jnp.max(dsum, -1) / jnp.maximum(votes, 1.0)
             best = jnp.argmax(dsum, -1).astype(jnp.uint8)
             keep = (votes > 0) & (conf >= conf_thresh)
             return jnp.where(keep, best, jnp.uint8(255))
 
         if seg_window is not None:
-            # walk only a tracked window (the forest walk is gather-bound;
-            # a static-size window centered on the previous frame's part
-            # centers cuts its cost ~4x).  Probes still read the full grid.
+            # restrict the walk to a tracked window centered on the
+            # previous frame's part centers.  Probes still read the full
+            # grid.
             wh, ww = seg_window
             has_com = com_pre[0] >= 0
             n_com = jnp.maximum(jnp.sum(has_com.astype(depth_s.dtype)), 1.0)
@@ -194,11 +216,30 @@ def fused_frame(ctx: FitContext, tree: Optional[TreeTensors],
             oy = jnp.clip(ccy.astype(jnp.int32) - wh // 2, 0, Hs - wh)
             ox = jnp.clip(ccx.astype(jnp.int32) - ww // 2, 0, Ws - ww)
             win = jax.lax.dynamic_slice(depth_s, (oy, ox), (wh, ww))
-            lab_win = walk(win, probe_img=depth_s, origin=(ox, oy))
-            labels_s = jax.lax.dynamic_update_slice(
-                jnp.full((Hs, Ws), 255, jnp.uint8), lab_win, (oy, ox))
+            region, roy, rox, rw = win, oy, ox, ww
         else:
-            labels_s = walk(depth_s)
+            region, roy, rox, rw = depth_s, 0, 0, Ws
+        # Compact the region's foreground pixels into a static bucket and
+        # walk only those: the walk is gather-bound (cost ~ pixel count)
+        # and even a tracked window is ~85% background.  A person at stride
+        # 3 covers ~2-4k pixels; overflow beyond the bucket drops pixels
+        # pseudo-randomly (hash-noise tiebreak).
+        WALK_K = 8192
+        rflat = region.reshape(-1)
+        rfg = rflat > 0
+        hidx2 = jnp.arange(rflat.shape[0], dtype=jnp.uint32)
+        tie = ((hidx2 * jnp.uint32(2654435761)) &
+               jnp.uint32(0xFFFF)).astype(jnp.float32) / 65536.0
+        _, sel = jax.lax.top_k(rfg.astype(jnp.float32) * 2.0 + tie,
+                               min(WALK_K, rflat.shape[0]))
+        fg_sel = rfg[sel]
+        z_sel = rflat[sel]
+        ys_sel = roy + sel // rw
+        xs_sel = rox + sel % rw
+        lab_sel = walk_set(ys_sel, xs_sel, z_sel, fg_sel)
+        pos = jnp.where(fg_sel, ys_sel * Ws + xs_sel, Hs * Ws)
+        labels_s = jnp.full(Hs * Ws + 1, 255, jnp.uint8).at[pos].set(
+            lab_sel, mode="drop")[:-1].reshape(Hs, Ws)
     else:
         labels_s = labels_full[::seg_stride, ::seg_stride]
         labels_s = jnp.where(depth_s > 0, labels_s, jnp.uint8(255))
@@ -220,25 +261,43 @@ def fused_frame(ctx: FitContext, tree: Optional[TreeTensors],
                               gacc[:num_parts, :5] / gn, -1.0)
 
     if use_render_labels:
-        # Model-predicted labels: render the previous pose's part mask on
-        # the strided grid (the device raster costs ~1 ms here — the
-        # reference disabled its analogous CPU render path as too slow,
-        # AvatarOptimizer.cpp:1371-1385) and trust it wherever the measured
-        # depth agrees with the rendered depth within render_tau.  The
-        # forest stays authoritative where the model and data disagree, so
-        # drift is still corrected by the independent per-frame signal.
-        from avatar_tpu.render.raster import default_budget, rasterize
-
+        # Model-predicted labels: splat the previous pose's vertices into a
+        # strided-grid z-buffer (one scatter-min over P points + a 3x3
+        # min-pool dilation -- ~10x cheaper than the exact triangle raster,
+        # and label coverage only needs vertex density, not exact facets;
+        # the reference disabled its analogous CPU render path as too slow,
+        # AvatarOptimizer.cpp:1371-1385) and trust the splatted label
+        # wherever the measured depth agrees within render_tau.  The forest
+        # stays authoritative where the model and data disagree, so drift
+        # is still corrected by the independent per-frame signal.
         Hs, Ws = depth_s.shape
-        F = ctx.faces.shape[0]
-        rast = rasterize(proj0, x_prev0[:, 2], ctx.faces, Hs, Ws,
-                         default_budget(Hs, Ws, F))
-        face_grp = ctx.model_part[ctx.faces[:, 0]]              # [F]
-        rl = jnp.where(rast.fid >= 0,
-                       face_grp[jnp.maximum(rast.fid, 0)].astype(jnp.uint8),
+        Z_BITS_MAX = float((1 << 17) - 1)
+        zq = jnp.clip(x_prev0[:, 2] / 20.0 * float(1 << 17), 1.0,
+                      Z_BITS_MAX).astype(jnp.int32)
+        key = (zq << 8) | ctx.model_part.astype(jnp.int32)
+        px = jnp.round(proj0[:, 0]).astype(jnp.int32)
+        py = jnp.round(proj0[:, 1]).astype(jnp.int32)
+        ok_v = (px >= 0) & (px < Ws) & (py >= 0) & (py < Hs) & (
+            x_prev0[:, 2] > 1e-6)
+        flat = jnp.where(ok_v, py * Ws + px, Hs * Ws)
+        IMAX = jnp.iinfo(jnp.int32).max
+        zbuf = jnp.full(Hs * Ws + 1, IMAX, jnp.int32).at[flat].min(
+            key, mode="drop")[:-1].reshape(Hs, Ws)
+        # 3x3 min-pool: nearest-depth vertex label wins in each nbhd
+        zp = jnp.pad(zbuf, 1, constant_values=IMAX)
+        pooled = zbuf
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                if dy == 1 and dx == 1:
+                    continue
+                pooled = jnp.minimum(
+                    pooled, zp[dy:dy + Hs, dx:dx + Ws])
+        hit = pooled != IMAX
+        rl = jnp.where(hit, (pooled & 0xFF).astype(jnp.uint8),
                        jnp.uint8(255))
-        agree = (depth_s > 0) & (rast.depth > 0) & (
-            jnp.abs(depth_s - rast.depth) < render_tau)
+        rd = jnp.where(hit, (pooled >> 8).astype(depth_s.dtype) *
+                       (20.0 / float(1 << 17)), 0.0)
+        agree = (depth_s > 0) & hit & (jnp.abs(depth_s - rd) < render_tau)
         labels_s = jnp.where(agree, rl, labels_s)
 
     # blob suppression + CoM tracking (contiguous part maps) on a 2x coarser
@@ -311,10 +370,15 @@ def fused_frame(ctx: FitContext, tree: Optional[TreeTensors],
                       plane_weight=plane_weight, huber_k=huber_k,
                       robust_per_part=robust_per_part, beta_temp=beta_temp,
                       clamp_angle=clamp_angle)
-    return FrameOut(theta=theta, com_pre=com_new, n_points=n_points,
-                    cost=diag.cost, labels_strided=labels_s,
-                    part_counts=diag.part_counts, n_matched=diag.n_matched,
-                    model_com=model_com)
+    host_diag = jnp.concatenate([
+        n_points[None].astype(depth_s.dtype),
+        diag.cost[None].astype(depth_s.dtype),
+        diag.n_matched[None].astype(depth_s.dtype),
+        diag.part_counts.astype(depth_s.dtype),
+        com_new.astype(depth_s.dtype).reshape(-1),
+        model_com.astype(depth_s.dtype).reshape(-1)])
+    return FrameOut(theta=theta, com_pre=com_new,
+                    labels_strided=labels_s, host_diag=host_diag)
 
 
 def _group_tree(t: TreeTensors, lut: np.ndarray, ng: int) -> TreeTensors:
@@ -629,7 +693,8 @@ class FusedTracker:
                          else c.reinit_icp_iters) * c.iters_per_icp
                 out = self._run(xyz, labels, steps, use_window=False,
                                 render_labels=False, is_reinit=True)
-                n_points = int(out.n_points)
+                diag = unpack_diag(out.host_diag, self.num_parts)
+                n_points = diag.n_points
             if n_points < min_needed:
                 return TrackResult(ok=False, n_points=n_points)
             self.reinit = False
@@ -639,7 +704,8 @@ class FusedTracker:
             n_steps = c.frame_icp_iters * c.iters_per_icp
             with self.timer.stage("frame"):
                 out = self._run(xyz, labels, n_steps)
-                n_points = int(out.n_points)
+                diag = unpack_diag(out.host_diag, self.num_parts)
+                n_points = diag.n_points
             if n_points < min_needed:
                 self.reinit = True
                 return TrackResult(ok=False, n_points=n_points)
@@ -647,10 +713,10 @@ class FusedTracker:
         self._theta = out.theta
         self.com_pre = out.com_pre
         if not reinitialized:
-            self._limb_recovery(out, depth_np)
+            self._limb_recovery(diag, depth_np)
         res = TrackResult(ok=True, reinitialized=reinitialized,
                           n_points=n_points,
-                          fit_info=self._fit_info(out))
+                          fit_info=self._fit_info(diag))
         self._log_metrics(res)
         return res
 
@@ -667,7 +733,7 @@ class FusedTracker:
         c = self.config
         if self.reinit:
             # flush the pipeline and run a synchronous reinit frame
-            self._pending = None
+            self._pending_q = []
             res = self.track(frame, labels_override)
             return res
 
@@ -686,21 +752,30 @@ class FusedTracker:
         self._theta = out.theta                    # device-side chain
         self.com_pre = out.com_pre
 
-        prev = getattr(self, "_pending", None)
-        self._pending = out
-        if prev is None:
+        pending = getattr(self, "_pending_q", None)
+        if pending is None:
+            pending = self._pending_q = []
+        pending.append(out)
+        # start the single packed device->host diagnostic copy now, so
+        # reading it next frame costs no link round trip (the remote-tunnel
+        # RTT can be tens of ms; one copy per frame, not one per field)
+        if hasattr(out.host_diag, "copy_to_host_async"):
+            out.host_diag.copy_to_host_async()
+        if len(pending) < max(1, c.pipeline_depth) + 1:
             return None
+        prev = pending.pop(0)
         # recovery decisions read the PREVIOUS frame's (already finished)
         # diagnostics so the just-dispatched frame stays in flight; a
         # triggered recovery syncs once, which is fine for a rare event
-        self._limb_recovery(prev, depth_np)
-        n_points = int(prev.n_points)              # prev has long finished
+        diag = unpack_diag(prev.host_diag, self.num_parts)
+        self._limb_recovery(diag, depth_np)
+        n_points = diag.n_points                   # prev has long finished
         if n_points < c.min_points / (c.data_interval ** 2):
             self.reinit = True
             res = TrackResult(ok=False, n_points=n_points)
         else:
             res = TrackResult(ok=True, n_points=n_points,
-                              fit_info=self._fit_info(prev))
+                              fit_info=self._fit_info(diag))
         self._log_metrics(res)
         return res
 
@@ -709,18 +784,19 @@ class FusedTracker:
         TrackResult or None)."""
         from avatar_tpu.tracking import TrackResult
 
-        prev = getattr(self, "_pending", None)
-        self._pending = None
-        if prev is None:
+        pending = getattr(self, "_pending_q", None)
+        if not pending:
             return None
-        return TrackResult(ok=True, n_points=int(prev.n_points),
-                           fit_info=self._fit_info(prev))
+        prev = pending[-1]
+        self._pending_q = []
+        diag = unpack_diag(prev.host_diag, self.num_parts)
+        return TrackResult(ok=True, n_points=diag.n_points,
+                           fit_info=self._fit_info(diag))
 
     @staticmethod
-    def _fit_info(out: FrameOut) -> dict:
-        return dict(cost=float(out.cost),
-                    n_matched=int(out.n_matched),
-                    part_counts=np.asarray(out.part_counts).tolist())
+    def _fit_info(diag: HostDiag) -> dict:
+        return dict(cost=diag.cost, n_matched=diag.n_matched,
+                    part_counts=diag.part_counts.astype(int).tolist())
 
     # -- structured per-frame metrics (SURVEY §5.5) -------------------------
 
@@ -756,7 +832,7 @@ class FusedTracker:
 
     # -- per-limb recovery (SURVEY §5.3) ------------------------------------
 
-    def _limb_recovery(self, out: FrameOut, depth_np: np.ndarray) -> None:
+    def _limb_recovery(self, diag: HostDiag, depth_np: np.ndarray) -> None:
         """Re-aim starved extremity chains at their forest blobs.
 
         A limb that loses correspondence never recovers on its own: the fit
@@ -774,8 +850,8 @@ class FusedTracker:
             return
         from avatar_tpu.perception.partgroups import SMPL24_GROUP_CHAIN_ROOT
 
-        pc = np.asarray(out.part_counts)
-        com = np.asarray(out.com_pre)
+        pc = diag.part_counts
+        com = diag.com_pre
         starve = getattr(self, "_starve", None)
         if starve is None:
             starve = self._starve = np.zeros(self.num_parts, np.int32)
@@ -785,8 +861,7 @@ class FusedTracker:
         hs = self._host_stride
         rots = None
         changed = False
-        mcom = (np.asarray(out.model_com) if out.model_com is not None
-                else np.full((self.num_parts, 5), -1.0))
+        mcom = diag.model_com
         Hp, Wp = depth_np.shape[:2]
 
         def blob_target(g):

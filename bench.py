@@ -234,6 +234,32 @@ def main():
     frame_ms = np.asarray([wall / n_frames * 1e3])
     stages = {k: float(np.mean(v)) for k, v in tracker.timer.stats.items()}
 
+    # tunnel-tax attribution: amortized device time per fused frame (chained
+    # dispatches, one block) and the frame-upload cost.  device_fps is the
+    # co-located-host projection -- what the same pipeline does without the
+    # remote link's per-call round trips (this environment tunnels to one
+    # remote chip; RTT varies 1-30+ ms run to run)
+    import jax as _jx
+    import jax.numpy as _jn
+    _scene0 = frames[min(5, n_frames - 1)][0]
+    _dn = tracker._pre_stride(np.asarray(_scene0))
+    _xyz = _jn.asarray(_dn)
+    _lab0 = _jn.zeros(tracker._proc_size, _jn.uint8)
+    _steps = cfg.frame_icp_iters * cfg.iters_per_icp
+    _o = tracker._run(_xyz, _lab0, _steps)
+    _jx.block_until_ready(_o.host_diag)
+    _t0 = time.perf_counter()
+    _NREP = 20
+    for _ in range(_NREP):
+        _o = tracker._run(_xyz, _lab0, _steps)
+        tracker._theta = _o.theta
+    _jx.block_until_ready(_o.host_diag)
+    device_ms = (time.perf_counter() - _t0) / _NREP * 1e3
+    _t0 = time.perf_counter()
+    for _ in range(10):
+        _jn.asarray(_dn).block_until_ready()
+    upload_ms = (time.perf_counter() - _t0) / 10 * 1e3
+
     # standalone GN/LM fit latency with device-resident inputs (the
     # BASELINE.md "per-frame fit < 8 ms" target; excludes link transfers)
     import jax as _jax
@@ -296,6 +322,9 @@ def main():
     _pts0[:_n0] = _sub[_fgm]
     _parts0 = np.full(_B0, -1, np.int32)
     _parts0[:_n0] = _m0[_fgm]
+    if tracker._glut is not None:
+        # the fit matches in group space; fold the oracle labels to match
+        _parts0[:_n0] = np.asarray(tracker._glut)[_parts0[:_n0]]
     _outg = _fit(tracker._ctx, model.parents, _jnp.asarray(_pts0),
                  _jnp.asarray(_parts0), _theta_gt,
                  _jnp.asarray(0.03, _jnp.float32),
@@ -332,6 +361,9 @@ def main():
         "joint_err_mm": round(joint_err_mm, 2),
         "vertex_rmse_mm": round(vertex_rmse_mm, 2),
         "fit_rmse_mm": round(fit_rmse_mm, 2),
+        "device_ms": round(float(device_ms), 2),
+        "upload_ms": round(float(upload_ms), 2),
+        "device_fps": round(1e3 / max(float(device_ms), 1e-6), 1),
         "frames": n_frames,
         "tracked": tracked,
         "platform": jax.devices()[0].platform,
