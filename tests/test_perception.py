@@ -280,3 +280,33 @@ def test_bgsubtractor_invalid_depth_is_background():
     mask = sub.run(img)
     assert (mask[8:10, 8:10] == 255).all()
     assert mask[6, 6] != 255
+
+
+def test_walk_pixels_matches_dense_walk(toy_depth):
+    """walk_pixels over a scattered pixel subset must agree with the dense
+    forest_walk at the same pixels (the fused tracker walks a compacted
+    foreground bucket)."""
+    import jax.numpy as jnp
+
+    from avatar_tpu.perception.rtree import forest_walk, walk_pixels
+
+    fd = _toy_forest()
+    tree = RTree(3)
+    tree.set_forest(fd)
+    t = tree._tree
+    H, W = toy_depth.shape
+    tl = jnp.asarray([0, 0], jnp.int32)
+    br = jnp.asarray([W - 1, H - 1], jnp.int32)
+    dense = np.asarray(forest_walk(t, jnp.asarray(toy_depth),
+                                   tree._max_depth, 1, tl, br))
+    r = np.random.default_rng(0)
+    ys = r.integers(0, H, 64)
+    xs = r.integers(0, W, 64)
+    z = toy_depth[ys, xs]
+    fg = z > 0
+    got = np.asarray(walk_pixels(
+        t, jnp.asarray(ys, jnp.int32), jnp.asarray(xs, jnp.int32),
+        jnp.asarray(z), jnp.asarray(fg),
+        jnp.asarray(toy_depth).reshape(-1), (H, W), tree._max_depth,
+        tl, br))
+    np.testing.assert_array_equal(got, dense[ys, xs])
