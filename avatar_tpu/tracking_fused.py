@@ -222,9 +222,9 @@ def fused_frame(ctx: FitContext, tree: Optional[TreeTensors],
         # Compact the region's foreground pixels into a static bucket and
         # walk only those: the walk is gather-bound (cost ~ pixel count)
         # and even a tracked window is ~85% background.  A person at stride
-        # 3 covers ~2-4k pixels; overflow beyond the bucket drops pixels
+        # 3 covers ~2-3k pixels; overflow beyond the bucket drops pixels
         # pseudo-randomly (hash-noise tiebreak).
-        WALK_K = 8192
+        WALK_K = 4096
         rflat = region.reshape(-1)
         rfg = rflat > 0
         hidx2 = jnp.arange(rflat.shape[0], dtype=jnp.uint32)
@@ -559,6 +559,12 @@ class FusedTracker:
         s = self._host_stride
         return arr if s == 1 else np.ascontiguousarray(arr[::s, ::s])
 
+    def _zero_labels(self):
+        z = getattr(self, "_zero_labels_arr", None)
+        if z is None:
+            z = self._zero_labels_arr = jnp.zeros(self._proc_size, jnp.uint8)
+        return z
+
     def _map_labels(self, labels: np.ndarray) -> np.ndarray:
         """Host-side part->group mapping of an oracle label image."""
         if self._glut is None:
@@ -597,15 +603,30 @@ class FusedTracker:
             pad_n = 1024
             while pad_n < n_data + self._boost_n:
                 pad_n *= 2
+        # cache the per-config device scalars: converting ~10 scalars per
+        # call costs ~8 ms/frame of host dispatch overhead (profiled)
+        consts = getattr(self, "_run_consts", None)
+        if consts is None:
+            dt = self.model.dtype
+            consts = self._run_consts = dict(
+                beta_pose=jnp.asarray(c.beta_pose, dt),
+                beta_shape=jnp.asarray(c.beta_shape, dt),
+                nn_t=jnp.asarray(scale * c.nn_dist_thresh_rel, dt),
+                nb_t=jnp.asarray(scale * c.neighb_thresh_rel, dt),
+                min_cc=jnp.asarray(min_cc, jnp.int32),
+                d2p=jnp.asarray(c.dist_to_pre_weight, dt),
+                point_weight=jnp.asarray(c.point_weight, dt),
+                plane_weight=jnp.asarray(c.plane_weight, dt),
+                huber_k=jnp.asarray(c.huber_k, dt),
+                render_tau=jnp.asarray(c.render_label_tau, dt),
+                beta_temp=jnp.asarray(c.beta_temp, dt),
+                clamp_angle=jnp.asarray(c.pose_clamp_angle, dt),
+                zero=jnp.asarray(0.0, dt))
         return fused_frame(
             self._ctx, self._tree, self.model.parents, xyz, labels, self._bg,
             self._intrin4, self._theta, self.com_pre,
-            jnp.asarray(c.beta_pose, self.model.dtype),
-            jnp.asarray(c.beta_shape, self.model.dtype),
-            jnp.asarray(scale * c.nn_dist_thresh_rel, self.model.dtype),
-            jnp.asarray(scale * c.neighb_thresh_rel, self.model.dtype),
-            jnp.asarray(min_cc, jnp.int32),
-            jnp.asarray(c.dist_to_pre_weight, self.model.dtype),
+            consts["beta_pose"], consts["beta_shape"],
+            consts["nn_t"], consts["nb_t"], consts["min_cc"], consts["d2p"],
             seg_stride=self._seg_stride, data_substride=self._data_substride,
             n_steps=n_steps, num_parts=self.num_parts,
             max_depth=self._max_depth,
@@ -614,20 +635,19 @@ class FusedTracker:
             use_jsr=self.model.use_joint_shape_regressor,
             pad_n=pad_n, seg_window=window,
             conf_thresh=c.label_conf_thresh,
-            point_weight=jnp.asarray(c.point_weight, self.model.dtype),
-            plane_weight=jnp.asarray(c.plane_weight, self.model.dtype),
-            huber_k=jnp.asarray(c.huber_k, self.model.dtype),
+            point_weight=consts["point_weight"],
+            plane_weight=consts["plane_weight"],
+            huber_k=consts["huber_k"],
             robust_per_part=c.robust_per_part,
             use_render_labels=(render_labels and c.render_labels and
                                self.rtree is not None),
-            render_tau=jnp.asarray(c.render_label_tau, self.model.dtype),
+            render_tau=consts["render_tau"],
             # the temporal prior anchors to theta0 == the artificial reset
             # pose during reinit, which would fight the exploration the
             # reinit fit exists to do
-            beta_temp=jnp.asarray(0.0 if is_reinit else c.beta_temp,
-                                  self.model.dtype),
-            clamp_angle=jnp.asarray(0.0 if is_reinit else c.pose_clamp_angle,
-                                    self.model.dtype),
+            beta_temp=consts["zero"] if is_reinit else consts["beta_temp"],
+            clamp_angle=(consts["zero"] if is_reinit
+                         else consts["clamp_angle"]),
             boost_n=self._boost_n,
             boost_groups=tuple(c.extremity_boost_groups))
 
@@ -648,7 +668,7 @@ class FusedTracker:
         else:
             xyz = jnp.asarray(depth_np, self.model.dtype)
         if labels_override is None:
-            labels = jnp.zeros(self._proc_size, jnp.uint8)
+            labels = self._zero_labels()
         else:
             labels = jnp.asarray(self._map_labels(self._pre_stride(
                 np.asarray(labels_override))), jnp.uint8)
@@ -743,7 +763,7 @@ class FusedTracker:
         depth_np = self._pre_stride(depth_np)
         xyz = jnp.asarray(depth_np) if depth_np.dtype == np.uint16 else \
             jnp.asarray(depth_np, self.model.dtype)
-        labels = (jnp.zeros(self._proc_size, jnp.uint8)
+        labels = (self._zero_labels()
                   if labels_override is None
                   else jnp.asarray(self._map_labels(self._pre_stride(
                       np.asarray(labels_override))), jnp.uint8))
