@@ -82,6 +82,10 @@ class FitContext(NamedTuple):
     # optional NN-candidate mask [P] (None = all vertices): the TPU analogue
     # of the reference's nnStep vertex subsampling (AvatarOptimizer.h:30-33)
     cand_mask: jnp.ndarray | None = None
+    # optional precomputed rest-pose vertex normals [P, 3]; when set, the
+    # fit skips the per-fit face-normal accumulation (lets a vertex-subset
+    # context drop faces entirely -- subset vertices don't form a mesh)
+    n_rest: jnp.ndarray | None = None
 
 
 class Theta(NamedTuple):
@@ -293,8 +297,11 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
     # (AvatarOptimizer.cpp:1349-1387: front iff ((p2-p1)x(p1-p3)).z > 1e-4,
     # i.e. accumulated CCW normal z < 0) up to silhouette-grazing vertices,
     # which the margin keeps inclusive.
-    shaped0, _ = shape_fwd(ctx.lbs, theta0.w, use_jsr)
-    n_rest = _vertex_normals(shaped0, ctx.faces)
+    if ctx.n_rest is not None:
+        n_rest = ctx.n_rest
+    else:
+        shaped0, _ = shape_fwd(ctx.lbs, theta0.w, use_jsr)
+        n_rest = _vertex_normals(shaped0, ctx.faces)
     occ_margin = jnp.asarray(0.2, dtype)
 
     # temporal-prior constants (frame-start rotations + tangent-dim mask)

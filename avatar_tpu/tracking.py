@@ -102,6 +102,11 @@ class TrackerConfig:
     # recovery) read the result from pipeline_depth frames ago, hiding the
     # device->host link round trip at the cost of detection lag
     pipeline_depth: int = 2
+    # fit on every k-th model vertex (FusedTracker): halves the fit's
+    # per-step tensor work at stride 2 for ~5mm extra joint error on the
+    # bench.  The reference's nnStep=20 uses 1/20th of vertices
+    # (AvatarOptimizer.h:30-33).  1 = full accuracy (default)
+    fit_vertex_stride: int = 1
 
 
 @dataclasses.dataclass

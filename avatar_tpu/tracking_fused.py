@@ -108,7 +108,8 @@ def _bg_subtract(xyz_s, bg_s, nn_t, nb_t, min_pts, cc_sub: int = 4):
                      "num_parts", "max_depth", "use_forest", "use_bgsub",
                      "use_jsr", "pad_n", "seg_window", "robust_per_part",
                      "use_render_labels", "boost_n", "boost_groups"))
-def fused_frame(ctx: FitContext, tree: Optional[TreeTensors],
+def fused_frame(ctx: FitContext, ctx_fit: Optional[FitContext],
+                tree: Optional[TreeTensors],
                 parents: Tuple[int, ...], depth: jnp.ndarray,
                 labels_full: jnp.ndarray, bg_depth: jnp.ndarray,
                 intrin4: jnp.ndarray, theta0: Theta, com_pre: jnp.ndarray,
@@ -364,7 +365,8 @@ def fused_frame(ctx: FitContext, tree: Optional[TreeTensors],
         parts = jnp.concatenate(
             [parts, jnp.full((pad_n - N,), -1, jnp.int32)])
 
-    theta, diag = fit(ctx, parents, pts, parts, theta0, beta_pose,
+    theta, diag = fit(ctx_fit if ctx_fit is not None else ctx, parents,
+                      pts, parts, theta0, beta_pose,
                       beta_shape, n_steps=n_steps, use_jsr=use_jsr,
                       num_parts=num_parts, point_weight=point_weight,
                       plane_weight=plane_weight, huber_k=huber_k,
@@ -497,6 +499,43 @@ class FusedTracker:
                             model.pose_prior.prec_cho,
                             model.pose_prior.consts_log),
         )
+        # vertex-subset fit context (see TrackerConfig.fit_vertex_stride):
+        # every k-th vertex, with rest-pose normals precomputed on the FULL
+        # mesh (subset vertices don't form a mesh) at w=0 -- shape-key
+        # normal deviation is negligible for occlusion/plane purposes
+        fvs = max(1, int(getattr(self.config, "fit_vertex_stride", 1)))
+        self._ctx_fit = None
+        # non-JSR models regress joints from the full vertex set; a subset
+        # would corrupt them, so only subsample when joints come from the
+        # joint-shape regressor
+        if fvs > 1 and model.use_joint_shape_regressor:
+            lp = model.params
+            vt = np.asarray(lp.v_template)
+            fc = np.asarray(model.faces)
+            fn = np.cross(vt[fc[:, 1]] - vt[fc[:, 0]],
+                          vt[fc[:, 2]] - vt[fc[:, 0]])
+            n0 = np.zeros_like(vt)
+            for k in range(3):
+                np.add.at(n0, fc[:, k], fn)
+            n0 /= np.maximum(np.linalg.norm(n0, axis=1, keepdims=True),
+                             1e-12)
+            sel = np.arange(0, vt.shape[0], fvs)
+            from avatar_tpu.core.lbs import LBSParams
+
+            lbs_sub = LBSParams(
+                v_template=jnp.asarray(vt[sel], model.dtype),
+                shapedirs=jnp.asarray(np.asarray(lp.shapedirs)[sel],
+                                      model.dtype),
+                weights=jnp.asarray(np.asarray(lp.weights)[sel],
+                                    model.dtype),
+                joint_reg=jnp.asarray(np.asarray(lp.joint_reg)[:, sel],
+                                      model.dtype),
+                joint_shape_reg_base=lp.joint_shape_reg_base,
+                joint_shape_reg=lp.joint_shape_reg)
+            self._ctx_fit = self._ctx._replace(
+                lbs=lbs_sub,
+                model_part=self._ctx.model_part[jnp.asarray(sel)],
+                n_rest=jnp.asarray(n0[sel], model.dtype))
         self._max_depth = (max(t._max_depth for t in rtrees)
                            if rtrees else 0)
         self._use_bgsub = False
@@ -623,7 +662,8 @@ class FusedTracker:
                 clamp_angle=jnp.asarray(c.pose_clamp_angle, dt),
                 zero=jnp.asarray(0.0, dt))
         return fused_frame(
-            self._ctx, self._tree, self.model.parents, xyz, labels, self._bg,
+            self._ctx, self._ctx_fit, self._tree,
+            self.model.parents, xyz, labels, self._bg,
             self._intrin4, self._theta, self.com_pre,
             consts["beta_pose"], consts["beta_shape"],
             consts["nn_t"], consts["nb_t"], consts["min_cc"], consts["d2p"],
