@@ -102,33 +102,28 @@ def _bg_subtract(xyz_s, bg_s, nn_t, nb_t, min_pts, cc_sub: int = 4):
     return keep & fg
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("parents", "seg_stride", "data_substride", "n_steps",
-                     "num_parts", "max_depth", "use_forest", "use_bgsub",
-                     "use_jsr", "pad_n", "seg_window", "robust_per_part",
-                     "use_render_labels", "boost_n", "boost_groups"))
-def fused_frame(ctx: FitContext, ctx_fit: Optional[FitContext],
-                tree: Optional[TreeTensors],
-                parents: Tuple[int, ...], depth: jnp.ndarray,
-                labels_full: jnp.ndarray, bg_depth: jnp.ndarray,
-                intrin4: jnp.ndarray, theta0: Theta, com_pre: jnp.ndarray,
-                beta_pose, beta_shape, nn_t, nb_t, min_cc_pts,
-                dist_to_pre_weight, seg_stride: int, data_substride: int,
-                n_steps: int, num_parts: int, max_depth: int,
-                use_forest: bool, use_bgsub: bool, use_jsr: bool,
-                pad_n: int, seg_window=None,
-                conf_thresh: float = 0.0,
-                point_weight: float = 1.0,
-                plane_weight: float = 0.0,
-                huber_k: float = 1.5,
-                robust_per_part: bool = False,
-                use_render_labels: bool = False,
-                render_tau: float = 0.06,
-                beta_temp: float = 0.0,
-                clamp_angle: float = 0.0,
-                boost_n: int = 0,
-                boost_groups: Tuple[int, ...] = ()) -> FrameOut:
+def _fused_frame_impl(ctx: FitContext, ctx_fit: Optional[FitContext],
+                      tree: Optional[TreeTensors],
+                      parents: Tuple[int, ...], depth: jnp.ndarray,
+                      labels_full: jnp.ndarray, bg_depth: jnp.ndarray,
+                      intrin4: jnp.ndarray, theta0: Theta, com_pre,
+                      beta_pose, beta_shape, nn_t, nb_t, min_cc_pts,
+                      dist_to_pre_weight, seg_stride: int,
+                      data_substride: int,
+                      n_steps: int, num_parts: int, max_depth: int,
+                      use_forest: bool, use_bgsub: bool, use_jsr: bool,
+                      pad_n: int, seg_window=None,
+                      conf_thresh: float = 0.0,
+                      point_weight: float = 1.0,
+                      plane_weight: float = 0.0,
+                      huber_k: float = 1.5,
+                      robust_per_part: bool = False,
+                      use_render_labels: bool = False,
+                      render_tau: float = 0.06,
+                      beta_temp: float = 0.0,
+                      clamp_angle: float = 0.0,
+                      boost_n: int = 0,
+                      boost_groups: Tuple[int, ...] = ()) -> FrameOut:
     """One tracked frame, fully on device.
 
     depth [H, W] f32 meters (or uint16 millimeters — converted here), so the
@@ -383,6 +378,60 @@ def fused_frame(ctx: FitContext, ctx_fit: Optional[FitContext],
                     labels_strided=labels_s, host_diag=host_diag)
 
 
+fused_frame = functools.partial(jax.jit, static_argnames=(
+    "parents", "seg_stride", "data_substride", "n_steps", "num_parts",
+    "max_depth", "use_forest", "use_bgsub", "use_jsr", "pad_n",
+    "seg_window", "robust_per_part", "use_render_labels", "boost_n",
+    "boost_groups"))(_fused_frame_impl)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("parents", "seg_stride", "data_substride", "n_steps",
+                     "num_parts", "max_depth", "use_forest", "use_bgsub",
+                     "use_jsr", "pad_n", "seg_window", "robust_per_part",
+                     "use_render_labels", "boost_n", "boost_groups"))
+def fused_frames_batch(ctx, ctx_fit, tree, parents, depth_b, labels_b,
+                       bg_depth, intrin4, theta0: Theta, com_pre,
+                       beta_pose, beta_shape, nn_t, nb_t, min_cc_pts,
+                       dist_to_pre_weight, seg_stride: int,
+                       data_substride: int, n_steps: int, num_parts: int,
+                       max_depth: int, use_forest: bool, use_bgsub: bool,
+                       use_jsr: bool, pad_n: int, seg_window=None,
+                       conf_thresh: float = 0.0, point_weight: float = 1.0,
+                       plane_weight: float = 0.0, huber_k: float = 1.5,
+                       robust_per_part: bool = False,
+                       use_render_labels: bool = False,
+                       render_tau: float = 0.06, beta_temp: float = 0.0,
+                       clamp_angle: float = 0.0, boost_n: int = 0,
+                       boost_groups: Tuple[int, ...] = ()):
+    """Track a whole BATCH of consecutive frames in one dispatch.
+
+    A lax.scan over _fused_frame_impl carrying (theta, com_pre).  On a
+    remote-tunnel deployment every PjRt call costs a link round trip, so
+    one upload + one execute per N frames instead of per frame raises the
+    throughput ceiling by ~N even though the device work is identical.
+    Returns (thetas stacked [B, ...], host_diag [B, D]); the per-frame
+    label images are not materialized (viz uses the single-frame path).
+    """
+    def step(carry, inp):
+        th, com = carry
+        d_i, l_i = inp
+        out = _fused_frame_impl(
+            ctx, ctx_fit, tree, parents, d_i, l_i, bg_depth, intrin4,
+            th, com, beta_pose, beta_shape, nn_t, nb_t, min_cc_pts,
+            dist_to_pre_weight, seg_stride, data_substride, n_steps,
+            num_parts, max_depth, use_forest, use_bgsub, use_jsr, pad_n,
+            seg_window, conf_thresh, point_weight, plane_weight, huber_k,
+            robust_per_part, use_render_labels, render_tau, beta_temp,
+            clamp_angle, boost_n, boost_groups)
+        return (out.theta, out.com_pre), (out.theta, out.host_diag)
+
+    (theta_f, com_f), (thetas, diags) = jax.lax.scan(
+        step, (theta0, com_pre), (depth_b, labels_b))
+    return thetas, diags, theta_f, com_f
+
+
 def _group_tree(t: TreeTensors, lut: np.ndarray, ng: int) -> TreeTensors:
     """Fold a tree's leaf part distributions into matching groups (argmax
     and confidence recomputed group-wise; see perception/partgroups.py)."""
@@ -623,29 +672,16 @@ class FusedTracker:
         self._bg = jnp.asarray(self._pre_stride(bg), self.model.dtype)
         self._use_bgsub = True
 
-    def _run(self, xyz, labels, n_steps, use_window=True,
-             render_labels=True, is_reinit=False):
-        c = self.config
-        H, W = self.image_size          # full-res (threshold scaling)
-        hs = self._host_stride
-        scale = 1200000.0 / (H * W)
-        min_cc = max(H * W // 1000, 100) // (hs * hs * 16)  # cc_sub=4 grid
-        window = None
-        pad_n = self._pad_n
-        if (use_window and c.seg_window is not None and
-                self.rtree is not None):
-            Hs, Ws = self._proc_size
-            window = (min(c.seg_window[0] // hs, Hs),
-                      min(c.seg_window[1] // hs, Ws))
-            dsub = self._data_substride
-            n_data = (-(-window[0] // dsub)) * (-(-window[1] // dsub))
-            pad_n = 1024
-            while pad_n < n_data + self._boost_n:
-                pad_n *= 2
-        # cache the per-config device scalars: converting ~10 scalars per
-        # call costs ~8 ms/frame of host dispatch overhead (profiled)
+    def _consts(self):
+        """Per-config device scalars, cached: converting ~10 scalars per
+        call costs ~8 ms/frame of host dispatch overhead (profiled)."""
         consts = getattr(self, "_run_consts", None)
         if consts is None:
+            c = self.config
+            H, W = self.image_size
+            hs = self._host_stride
+            scale = 1200000.0 / (H * W)
+            min_cc = max(H * W // 1000, 100) // (hs * hs * 16)
             dt = self.model.dtype
             consts = self._run_consts = dict(
                 beta_pose=jnp.asarray(c.beta_pose, dt),
@@ -661,6 +697,25 @@ class FusedTracker:
                 beta_temp=jnp.asarray(c.beta_temp, dt),
                 clamp_angle=jnp.asarray(c.pose_clamp_angle, dt),
                 zero=jnp.asarray(0.0, dt))
+        return consts
+
+    def _run(self, xyz, labels, n_steps, use_window=True,
+             render_labels=True, is_reinit=False):
+        c = self.config
+        hs = self._host_stride
+        window = None
+        pad_n = self._pad_n
+        if (use_window and c.seg_window is not None and
+                self.rtree is not None):
+            Hs, Ws = self._proc_size
+            window = (min(c.seg_window[0] // hs, Hs),
+                      min(c.seg_window[1] // hs, Ws))
+            dsub = self._data_substride
+            n_data = (-(-window[0] // dsub)) * (-(-window[1] // dsub))
+            pad_n = 1024
+            while pad_n < n_data + self._boost_n:
+                pad_n *= 2
+        consts = self._consts()
         return fused_frame(
             self._ctx, self._ctx_fit, self._tree,
             self.model.parents, xyz, labels, self._bg,
@@ -779,6 +834,115 @@ class FusedTracker:
                           fit_info=self._fit_info(diag))
         self._log_metrics(res)
         return res
+
+    def _run_batch(self, xyz_b, labels_b, n_steps):
+        """Dispatch a whole frame batch (see fused_frames_batch)."""
+        c = self.config
+        consts = self._consts()
+        window = None
+        pad_n = self._pad_n
+        if c.seg_window is not None and self.rtree is not None:
+            Hs, Ws = self._proc_size
+            hs = self._host_stride
+            window = (min(c.seg_window[0] // hs, Hs),
+                      min(c.seg_window[1] // hs, Ws))
+            dsub = self._data_substride
+            n_data = (-(-window[0] // dsub)) * (-(-window[1] // dsub))
+            pad_n = 1024
+            while pad_n < n_data + self._boost_n:
+                pad_n *= 2
+        return fused_frames_batch(
+            self._ctx, self._ctx_fit, self._tree, self.model.parents,
+            xyz_b, labels_b, self._bg, self._intrin4, self._theta,
+            self.com_pre,
+            consts["beta_pose"], consts["beta_shape"],
+            consts["nn_t"], consts["nb_t"], consts["min_cc"], consts["d2p"],
+            seg_stride=self._seg_stride,
+            data_substride=self._data_substride,
+            n_steps=n_steps, num_parts=self.num_parts,
+            max_depth=self._max_depth,
+            use_forest=self.rtree is not None,
+            use_bgsub=self._use_bgsub,
+            use_jsr=self.model.use_joint_shape_regressor,
+            pad_n=pad_n, seg_window=window,
+            conf_thresh=c.label_conf_thresh,
+            point_weight=consts["point_weight"],
+            plane_weight=consts["plane_weight"],
+            huber_k=consts["huber_k"],
+            robust_per_part=c.robust_per_part,
+            use_render_labels=(c.render_labels and self.rtree is not None),
+            render_tau=consts["render_tau"],
+            beta_temp=consts["beta_temp"],
+            clamp_angle=consts["clamp_angle"],
+            boost_n=self._boost_n,
+            boost_groups=tuple(c.extremity_boost_groups))
+
+    def track_batch(self, frames, labels_override=None):
+        """Track a list of consecutive frames in ONE device dispatch.
+
+        Max-throughput offline mode: on a remote-tunnel deployment every
+        PjRt call pays a link round trip, so batching N frames into a
+        single upload + execute raises the ceiling ~N-fold; on local chips
+        it removes per-frame dispatch overhead.  Reinitialization cannot
+        happen mid-batch: if the batch starts lost, the first frame runs
+        through the synchronous path and the rest as a batch; if tracking
+        is lost inside a batch, the remaining frames' results are still
+        produced (the reinit happens on the next call).
+
+        Returns a list of TrackResult.  Per-frame poses are stacked on
+        device in ``self.batch_thetas`` (a Theta pytree with a leading
+        batch axis).
+        """
+        from avatar_tpu.tracking import TrackResult
+
+        c = self.config
+        if not frames:
+            return []
+        if self.reinit:
+            head = self.track(frames[0], labels_override[0]
+                              if labels_override is not None else None)
+            rest = self.track_batch(
+                frames[1:], labels_override[1:]
+                if labels_override is not None else None)
+            return [head] + rest
+        deps = []
+        labs = []
+        for i, f in enumerate(frames):
+            f = np.asarray(f)
+            deps.append(self._pre_stride(f[..., 2] if f.ndim == 3 else f))
+            if labels_override is None:
+                labs.append(None)
+            else:
+                labs.append(self._map_labels(self._pre_stride(
+                    np.asarray(labels_override[i]))))
+        dep_b = jnp.asarray(np.stack(deps)) \
+            if deps[0].dtype == np.uint16 else jnp.asarray(
+                np.stack(deps), self.model.dtype)
+        lab_b = (jnp.zeros((len(frames),) + self._proc_size, jnp.uint8)
+                 if labels_override is None
+                 else jnp.asarray(np.stack(labs), jnp.uint8))
+        n_steps = c.frame_icp_iters * c.iters_per_icp
+        thetas, diags, theta_f, com_f = self._run_batch(dep_b, lab_b,
+                                                        n_steps)
+        self._theta = theta_f
+        self.com_pre = com_f
+        self.batch_thetas = thetas
+        dn = np.asarray(diags)                  # ONE device->host copy
+        results = []
+        min_needed = c.min_points / (c.data_interval ** 2)
+        for b in range(dn.shape[0]):
+            diag = unpack_diag(dn[b], self.num_parts)
+            ok = diag.n_points >= min_needed
+            if not ok:
+                self.reinit = True
+            results.append(TrackResult(
+                ok=ok, n_points=diag.n_points,
+                fit_info=self._fit_info(diag)))
+            self._log_metrics(results[-1])
+        if not self.reinit:
+            self._limb_recovery(unpack_diag(dn[-1], self.num_parts),
+                                deps[-1])
+        return results
 
     def track_async(self, frame, labels_override: Optional[np.ndarray] = None):
         """Throughput-mode tracking: dispatches this frame immediately

@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--profile-dir", default="",
                     help="capture a jax.profiler device trace of the "
                          "throughput pass into this directory")
+    ap.add_argument("--no-batch", action="store_true",
+                    help="use per-frame track_async for the throughput "
+                         "pass instead of 8-frame batch dispatches")
     args = ap.parse_args()
 
     if args.quick:
@@ -171,7 +174,9 @@ def main():
     tracker = FusedTracker(model, intrin, (H, W), rtree=forest, config=cfg)
     tracker.set_background(bg_depth)
 
-    # warmup (compile both the reinit and steady-state variants)
+    # warmup (compile the reinit, steady-state, and batch variants)
+    BATCH = 8
+    use_batch = not args.no_batch
     for i in range(min(3, n_frames)):
         scene, mask = frames[i]
         if i == 0:
@@ -180,6 +185,10 @@ def main():
             tracker.track_async(scene,
                                 labels_override=None if use_forest else mask)
     tracker.flush()
+    if use_batch:
+        tracker.track_batch(
+            [s for s, m in frames[:BATCH]],
+            None if use_forest else [m for s, m in frames[:BATCH]])
 
     # latency: synchronous per-frame wall time
     lat = []
@@ -213,20 +222,36 @@ def main():
     from avatar_tpu.profiling import device_trace
     prof = (device_trace(args.profile_dir) if args.profile_dir
             else contextlib.nullcontext())
+    import jax as _jxx
     with prof:
         for _rep in range(1 if args.profile_dir else
                           (3 if not args.quick else 1)):
             thetas = []
             tracked = 0
             t_all0 = time.perf_counter()
-            for i, (scene, mask) in enumerate(frames):
-                res = tracker.track_async(
-                    scene, labels_override=None if use_forest else mask)
-                if res is None or res.ok:
-                    tracked += 1
-                thetas.append(tracker._theta)
-            tracker.flush()
-            wall = time.perf_counter() - t_all0
+            if use_batch:
+                # max-throughput mode: 8 frames per device dispatch
+                batches = []
+                for i in range(0, n_frames, BATCH):
+                    chunk = frames[i:i + BATCH]
+                    res = tracker.track_batch(
+                        [s for s, m in chunk],
+                        None if use_forest else [m for s, m in chunk])
+                    tracked += sum(1 for r in res if r.ok)
+                    batches.append((len(chunk), tracker.batch_thetas))
+                wall = time.perf_counter() - t_all0
+                for nb, bt in batches:
+                    for k in range(nb):
+                        thetas.append(_jxx.tree.map(lambda a: a[k], bt))
+            else:
+                for i, (scene, mask) in enumerate(frames):
+                    res = tracker.track_async(
+                        scene, labels_override=None if use_forest else mask)
+                    if res is None or res.ok:
+                        tracked += 1
+                    thetas.append(tracker._theta)
+                tracker.flush()
+                wall = time.perf_counter() - t_all0
             best_wall = min(best_wall, wall)
     wall = best_wall
 
