@@ -158,3 +158,29 @@ def test_fused_multi_tree_forest(sequence):
     ava = tracker.sync_avatar()
     err = np.linalg.norm(ava.joint_pos - gtj, axis=1).mean()
     assert err < 0.2, f"multi-tree fused err {err * 1e3:.0f} mm"
+
+
+def test_track_batch_matches_sync(sequence):
+    """track_batch (one scan dispatch) must produce the same poses as the
+    per-frame synchronous path, modulo the limb-recovery host step (both
+    trackers run without a forest, where recovery is inactive)."""
+    model, frames = sequence
+    cfg = TrackerConfig(data_interval=4, min_points=200, iters_per_icp=4)
+    tr_sync = FusedTracker(model, INTRIN, (H, W), config=cfg)
+    tr_batch = FusedTracker(model, INTRIN, (H, W), config=cfg)
+    # initialize both with frame 0 (reinit path)
+    tr_sync.track(frames[0][0], labels_override=frames[0][1])
+    tr_batch.track(frames[0][0], labels_override=frames[0][1])
+    for depth, mask, _ in frames[1:]:
+        res = tr_sync.track(depth, labels_override=mask)
+        assert res.ok
+    results = tr_batch.track_batch([f[0] for f in frames[1:]],
+                                   [f[1] for f in frames[1:]])
+    assert len(results) == len(frames) - 1
+    assert all(r.ok for r in results)
+    np.testing.assert_allclose(np.asarray(tr_batch._theta.p),
+                               np.asarray(tr_sync._theta.p), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(tr_batch._theta.rots),
+                               np.asarray(tr_sync._theta.rots), atol=1e-4)
+    # stacked per-frame poses exposed for offline consumers
+    assert np.asarray(tr_batch.batch_thetas.p).shape[0] == len(frames) - 1
