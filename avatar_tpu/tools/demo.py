@@ -65,6 +65,11 @@ def build_parser():
     ap.add_argument("--no-render-labels", action="store_true",
                     help="disable the model-predicted label override "
                          "(fused tracker; on by default with a forest)")
+    ap.add_argument("--throughput", type=int, default=0, metavar="B",
+                    help="offline max-throughput mode (fused tracker): "
+                         "track B frames per device dispatch "
+                         "(track_batch); prints fps, skips per-frame "
+                         "overlays")
     add_model_args(ap)
     return ap
 
@@ -115,6 +120,30 @@ def main(argv=None):
 
     if args.out:
         os.makedirs(args.out, exist_ok=True)
+
+    if args.throughput and args.fused and not args.rtree_only:
+        import time as _time
+
+        fids = list(ds.frames(start=args.image))
+        if args.max_frames:
+            fids = fids[: args.max_frames]
+        # initialize tracking on the first frame, then batch the rest
+        tracker.track(ds.xyz(fids[0]))
+        B = args.throughput
+        t0 = _time.perf_counter()
+        n_ok = 0
+        for i in range(1, len(fids), B):
+            chunk = [ds.xyz(f) for f in fids[i:i + B]]
+            for r in tracker.track_batch(chunk):
+                n_ok += r.ok
+        dt = _time.perf_counter() - t0
+        print(f"[demo] {len(fids) - 1} frames in {dt:.2f}s "
+              f"({(len(fids) - 1) / max(dt, 1e-9):.1f} fps, "
+              f"{n_ok} tracked), batch={B}")
+        if args.metrics:
+            tracker.close_metrics()
+            print(f"[demo] metrics written to {args.metrics}")
+        return
 
     n = 0
     for fid in ds.frames(start=args.image):

@@ -118,6 +118,10 @@ def test_demo_tool_over_synthetic_dataset(tmp_path):
     # and the tracking path (no --rtree-only)
     demo.main([ds, tree, "-p", "8", "-i", "0", "--synthetic-model", "1",
                "-I", "6", "-M", "100", "--max-frames", "2"])
+    # offline max-throughput batch mode (fused tracker)
+    demo.main([ds, tree, "-p", "8", "-i", "0", "--synthetic-model", "1",
+               "-I", "6", "-M", "100", "--max-frames", "4", "--fused",
+               "--throughput", "2"])
 
 
 def test_face_landmark_tracking(tmp_path, capsys):
