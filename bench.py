@@ -60,7 +60,7 @@ def main():
     from avatar_tpu.perception.rtree import RTree
     from avatar_tpu.render.renderer import AvatarRenderer
     from avatar_tpu.testing import synthetic_model
-    from avatar_tpu.tracking import Tracker, TrackerConfig
+    from avatar_tpu.tracking import TrackerConfig
     from avatar_tpu.tracking_fused import FusedTracker
 
     if args.quick:
