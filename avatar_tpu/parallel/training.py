@@ -101,3 +101,36 @@ def sharded_multistream_lbs(mesh: Mesh, lbs_params, parents, w, p, rots,
                    out_specs=(P(axis), P(axis), P(axis), P(axis)),
                    )
     return fn(w, p, rots)
+
+
+def sharded_track_step(mesh: Mesh, ctx, ctx_fit, tree, parents,
+                       depth_b, labels_b, bg_depth, intrin4, thetas_b,
+                       com_b, frame_kwargs, axis: str = "data"):
+    """One fused tracking step for S independent camera streams, sharded
+    over the mesh (multi-camera serving: each chip runs its shard of
+    streams through the whole-frame program; no cross-stream collectives).
+
+    depth_b [S, Hs, Ws], labels_b [S, Hs, Ws] u8, thetas_b: a Theta pytree
+    with leading stream axis, com_b [S, 2, G].  frame_kwargs carries the
+    scalar/static arguments of tracking_fused._fused_frame_impl (beta_pose
+    ... boost_groups).  S must divide by the mesh size.  Returns a FrameOut
+    pytree with the stream axis (labels_strided included, for per-stream
+    postprocessing).
+    """
+    from avatar_tpu.tracking_fused import _fused_frame_impl
+
+    def one(d, l, th, com):
+        return _fused_frame_impl(ctx, ctx_fit, tree, parents, d, l,
+                                 bg_depth, intrin4, th, com,
+                                 **frame_kwargs)
+
+    def local(d, l, th, com):
+        return jax.vmap(one)(d, l, th, com)
+
+    # check_vma off: the per-stream program creates unvarying literal
+    # carries inside its scans/while loops (it has no cross-shard
+    # collectives at all, so the varying-axes analysis adds nothing here)
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(axis), P(axis), P(axis), P(axis)),
+                   out_specs=P(axis), check_vma=False)
+    return fn(depth_b, labels_b, thetas_b, com_b)

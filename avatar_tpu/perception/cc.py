@@ -89,8 +89,12 @@ def connected_components(active: jnp.ndarray, edge_gate_fn=None,
     def cond(state):
         return state[1] & (state[2] < max_iters)
 
+    # the initial flag derives from the data so its sharding/varying type
+    # matches the body output under shard_map (an unvarying literal True
+    # fails the carry check); an all-background grid legitimately skips
+    # the propagation loop
     label, _, _ = jax.lax.while_loop(
-        cond, body, (label, jnp.asarray(True), jnp.asarray(0, jnp.int32)))
+        cond, body, (label, jnp.any(active), jnp.asarray(0, jnp.int32)))
     return jnp.where(active, label, -1)
 
 

@@ -106,3 +106,69 @@ def test_sharded_multistream_lbs(setup):
     c0, j0, _, _ = lbs(model.params, model.parents, w[0], p[0], rots[0])
     np.testing.assert_allclose(np.asarray(clouds[0]), np.asarray(c0),
                                atol=1e-6)
+
+
+def test_sharded_track_step(setup):
+    """8 independent camera streams tracked in one sharded step must match
+    the single-stream fused frame on each stream."""
+    from avatar_tpu.core.model import Avatar
+    from avatar_tpu.render.renderer import AvatarRenderer
+    from avatar_tpu.tracking import TrackerConfig
+    from avatar_tpu.tracking_fused import FusedTracker, _fused_frame_impl
+
+    model, _ = setup
+    mesh = ptrain.make_mesh()
+    S = 8
+    cfg = TrackerConfig(data_interval=4, min_points=50, iters_per_icp=2,
+                        seg_window=None)
+    tr = FusedTracker(model, INTRIN, (H, W), config=cfg)
+    # S streams: the same scene shifted per stream
+    ava = Avatar(model)
+    ava.randomize(seed=5)
+    ava.w *= 0.2
+    ava.r[0] = np.diag([-1.0, 1.0, -1.0])
+    depths, labels = [], []
+    for s in range(S):
+        ava.p = np.array([0.02 * s - 0.08, 0.1, 2.0])
+        ava.update()
+        rend = AvatarRenderer(ava, INTRIN)
+        depths.append(np.asarray(rend.render_depth((H, W))))
+        labels.append(np.asarray(rend.render_part_mask((H, W))))
+    depth_b = jnp.asarray(np.stack(depths))
+    labels_b = jnp.asarray(np.stack(labels))
+    J = model.num_joints()
+    rots = np.tile(np.eye(3), (S, J, 1, 1))
+    rots[:, 0] = np.diag([-1.0, 1.0, -1.0])
+    from avatar_tpu.optim.gauss_newton import Theta
+
+    thetas_b = Theta(
+        p=jnp.asarray(np.tile([0.0, 0.1, 2.0], (S, 1)), jnp.float32),
+        rots=jnp.asarray(rots, jnp.float32),
+        w=jnp.zeros((S, model.num_shape_keys()), jnp.float32))
+    com_b = jnp.tile(jnp.asarray(
+        np.concatenate([np.full((1, tr.num_parts), -1.0),
+                        np.zeros((1, tr.num_parts))]), jnp.float32),
+        (S, 1, 1))
+    consts = tr._consts()
+    kwargs = dict(
+        beta_pose=consts["beta_pose"], beta_shape=consts["beta_shape"],
+        nn_t=consts["nn_t"], nb_t=consts["nb_t"],
+        min_cc_pts=consts["min_cc"], dist_to_pre_weight=consts["d2p"],
+        seg_stride=1, data_substride=tr._data_substride, n_steps=4,
+        num_parts=tr.num_parts, max_depth=0, use_forest=False,
+        use_bgsub=False, use_jsr=model.use_joint_shape_regressor,
+        pad_n=tr._pad_n, seg_window=None,
+        point_weight=consts["point_weight"],
+        plane_weight=consts["plane_weight"], huber_k=consts["huber_k"])
+    out = ptrain.sharded_track_step(
+        mesh, tr._ctx, tr._ctx_fit, None, model.parents, depth_b, labels_b,
+        tr._bg, tr._intrin4, thetas_b, com_b, kwargs)
+    # reference: run stream 3 alone through the unsharded program
+    one = _fused_frame_impl(
+        tr._ctx, tr._ctx_fit, None, model.parents, depth_b[3], labels_b[3],
+        tr._bg, tr._intrin4,
+        jax.tree.map(lambda a: a[3], thetas_b), com_b[3], **kwargs)
+    np.testing.assert_allclose(np.asarray(out.theta.p[3]),
+                               np.asarray(one.theta.p), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.host_diag[3]),
+                               np.asarray(one.host_diag), atol=1e-4)
