@@ -98,6 +98,10 @@ class TrackerConfig:
     # for joints whose subtree matched almost no data (gauss_newton.fit);
     # 0 disables
     pose_clamp_angle: float = 0.25
+    # reinitialization seeds (FusedTracker): rest pose + the (n-1)
+    # heaviest GMM pose-prior component means; the lowest-cost fit wins.
+    # Escapes bad arm/leg local minima at initialization
+    reinit_seeds: int = 3
     # track_async frames in flight: diagnostics (loss detection, limb
     # recovery) read the result from pipeline_depth frames ago, hiding the
     # device->host link round trip at the cost of detection lag

@@ -796,19 +796,42 @@ class FusedTracker:
                 J = self.model.num_joints()
                 rots = np.tile(np.eye(3), (J, 1, 1))
                 rots[0] = np.diag([-1.0, 1.0, -1.0])
-                self._theta = Theta(
-                    p=jnp.asarray(centroid, self.model.dtype),
-                    rots=jnp.asarray(rots, self.model.dtype),
-                    w=jnp.zeros(self.model.num_shape_keys(),
-                                self.model.dtype))
-                self.com_pre = jnp.asarray(np.concatenate(
+                # multi-seed reinit: rest pose plus the heaviest GMM
+                # component means (a poor initial arm/leg configuration is
+                # a local minimum the fit never escapes; the prior's modes
+                # are the likeliest true configurations)
+                seeds = [rots]
+                if (c.reinit_seeds > 1 and
+                        self.model.pose_prior is not None):
+                    from avatar_tpu.core import rotation as _rot
+
+                    wts = np.asarray(self.model.pose_prior.weights)
+                    means = np.asarray(self.model.pose_prior.means)
+                    for ci in np.argsort(wts)[::-1][: c.reinit_seeds - 1]:
+                        aa = means[ci].reshape(J - 1, 3)
+                        R = np.asarray(_rot.so3_exp(
+                            jnp.asarray(aa, jnp.float32)))
+                        seeds.append(np.concatenate([rots[:1], R], axis=0))
+                com0 = jnp.asarray(np.concatenate(
                     [np.full((1, self.num_parts), -1.0),
                      np.zeros((1, self.num_parts))]), self.model.dtype)
                 steps = (c.initial_icp_iters if self.first_init
                          else c.reinit_icp_iters) * c.iters_per_icp
-                out = self._run(xyz, labels, steps, use_window=False,
-                                render_labels=False, is_reinit=True)
-                diag = unpack_diag(out.host_diag, self.num_parts)
+                best = None
+                for sd in seeds:
+                    self._theta = Theta(
+                        p=jnp.asarray(centroid, self.model.dtype),
+                        rots=jnp.asarray(sd, self.model.dtype),
+                        w=jnp.zeros(self.model.num_shape_keys(),
+                                    self.model.dtype))
+                    self.com_pre = com0
+                    out_s = self._run(xyz, labels, steps, use_window=False,
+                                      render_labels=False, is_reinit=True)
+                    diag_s = unpack_diag(out_s.host_diag, self.num_parts)
+                    score = diag_s.cost / max(diag_s.n_matched, 1)
+                    if best is None or score < best[0]:
+                        best = (score, out_s, diag_s)
+                _, out, diag = best
                 n_points = diag.n_points
             if n_points < min_needed:
                 return TrackResult(ok=False, n_points=n_points)
