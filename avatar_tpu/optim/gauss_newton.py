@@ -507,3 +507,178 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
         theta = Theta(p=theta.p, rots=rots_c, w=theta.w)
     return theta, FitDiag(cost=cost, n_matched=n_matched,
                           inner_iters=accepted, part_counts=part_counts)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("parents", "use_jsr", "n_steps", "enable_occlusion",
+                     "chunk", "num_parts"))
+def fit_refine(ctx: FitContext, parents: Tuple[int, ...],
+               ring_faces: jnp.ndarray, data_pts: jnp.ndarray,
+               data_part: jnp.ndarray, theta0: Theta,
+               beta_pose: jnp.ndarray, beta_shape: jnp.ndarray,
+               n_steps: int = 10, use_jsr: bool = True,
+               enable_occlusion: bool = True, chunk: int = 512,
+               num_parts: int = 0,
+               plane_weight: jnp.ndarray | float = 1.0,
+               point_weight: jnp.ndarray | float = 0.2,
+               function_tolerance: float = 1e-7,
+               huber_k: jnp.ndarray | float = 4.0,
+               trim_k: jnp.ndarray | float = 20.0) -> Tuple[Theta, FitDiag]:
+    """High-exactness avatar fit: point-to-MESH ICP with per-datum Jacobians.
+
+    The tracking fit (``fit``) matches data to the nearest model vertex and
+    reduces matches to per-vertex sufficient statistics — fast, but its
+    converged optimum carries a bias floor of a few millimeters set by the
+    vertex spacing (data points live on triangle interiors; see
+    optim/surface.py).  This solver matches each data point to the closest
+    point ON the mesh surface (vertex NN -> one-ring closest triangle,
+    barycentric) and builds exact normal equations over per-datum residuals
+
+        r_n = sum_i b_i x_{v_i} - d_n          (point-to-point)
+        r_n^pl = n_f . r_n                      (point-to-plane, face normal)
+
+    with Jacobian  J_n = sum_i b_i J_{v_i}  gathered from the analytic
+    per-vertex Jacobian.  At the true pose every residual equals sensor
+    quantization, so the converged vertex RMSE is sub-millimeter — the
+    BASELINE acceptance bar the reference states as "<1 mm vs the CPU
+    reference fit" (this repo measures the strictly harder "vs ground
+    truth", bench.py).
+
+    Intended for the converged-exactness probe and offline high-quality
+    refits; the per-frame tracker keeps the sufficient-statistics ``fit``.
+    ``ring_faces`` comes from surface.vertex_face_rings (host precompute).
+    """
+    from avatar_tpu.optim.surface import surface_correspond
+
+    dtype = data_pts.dtype
+    P = ctx.lbs.weights.shape[0]
+    N = data_pts.shape[0]
+    w_pt = jnp.asarray(point_weight, dtype)
+    w_pl = jnp.asarray(plane_weight, dtype)
+
+    theta0 = Theta(
+        p=theta0.p,
+        rots=rotation.quat_to_mat(rotation.mat_to_quat(theta0.rots)),
+        w=theta0.w)
+    if ctx.n_rest is not None:
+        n_rest = ctx.n_rest
+    else:
+        shaped0, _ = shape_fwd(ctx.lbs, theta0.w, use_jsr)
+        n_rest = _vertex_normals(shaped0, ctx.faces)
+    occ_margin = jnp.asarray(0.2, dtype)
+
+    def step(state):
+        theta, fwd, lam, it, accepted, small_cnt, _, _, corr_prev = state
+        x, shaped, j_init, Rg, tg, A = fwd
+        vn = jnp.einsum("pab,pb->pa", A, n_rest, precision=_HI)
+        vn = vn / jnp.linalg.norm(vn, axis=-1, keepdims=True).clip(1e-12)
+        if enable_occlusion:
+            vis = vn[:, 2] < occ_margin
+            fe1 = x[ctx.faces[:, 1]] - x[ctx.faces[:, 0]]
+            fe2 = x[ctx.faces[:, 2]] - x[ctx.faces[:, 0]]
+            fn_all = jnp.cross(fe1, fe2)
+            front = fn_all[:, 2] < occ_margin * jnp.linalg.norm(
+                fn_all, axis=-1).clip(1e-12)
+        else:
+            vis = jnp.ones(P, jnp.bool_)
+            front = None
+        if ctx.cand_mask is not None:
+            vis = vis & ctx.cand_mask
+        st = correspond.find_nn_stats(
+            data_pts, data_part, x, ctx.model_part, vis, chunk=chunk)
+        tri_idx, bary, fnrm, valid = surface_correspond(
+            data_pts, st.corr, x, ctx.faces, ring_faces, face_front=front)
+        # Robust weighting against correspondence outliers.  Even at the
+        # true pose a few percent of matches are bad — silhouette-straddling
+        # pixels, part-boundary points whose same-part NN vertex's ring
+        # misses the true triangle, thin-part wrong-sheet matches — with
+        # residuals 10-100x the quantization floor.  An unweighted LS would
+        # let this tail bias the optimum by millimeters: Huber-IRLS on the
+        # current match distances (delta = huber_k * median) plus a hard
+        # trim at trim_k * median removes it.
+        r_cur = jnp.sum(bary[..., None] * x[tri_idx], axis=1) - data_pts
+        dist = jnp.sqrt(jnp.sum(r_cur * r_cur, -1) + 1e-16)
+        big = jnp.where(valid, dist, jnp.nan)
+        med = jnp.nan_to_num(jnp.nanmedian(big), nan=1e-3)
+        delta_h = jnp.maximum(jnp.asarray(huber_k, dtype) * med, 2e-4)
+        wgt = jnp.where(valid, jnp.minimum(1.0, delta_h / dist), 0.0)
+        wgt = jnp.where(dist > jnp.asarray(trim_k, dtype) * med, 0.0, wgt)
+        n_matched = jnp.sum((wgt > 0).astype(dtype))
+        scale = jnp.sqrt(jnp.maximum(n_matched, 1.0)) / 15.0
+        bp = beta_pose * scale
+        bs = beta_shape * scale
+
+        def surf_pts(xf):
+            return jnp.sum(bary[..., None] * xf[tri_idx], axis=1)   # [N, 3]
+
+        def total_cost(th, xf):
+            rr = surf_pts(xf) - data_pts
+            c_pt = 0.5 * jnp.sum(wgt * jnp.sum(rr * rr, -1))
+            c_pl = 0.5 * jnp.sum(wgt * jnp.sum(fnrm * rr, -1) ** 2)
+            return (w_pt ** 2 * c_pt + w_pl ** 2 * c_pl +
+                    _prior_cost(ctx, th, bp, bs))
+
+        cost = total_cost(theta, x)
+        Jm = _icp_jacobian(ctx, parents, theta, fwd)                # [P,3,D]
+        Jn = jnp.sum(bary[:, :, None, None] * Jm[tri_idx], axis=1)  # [N,3,D]
+        r = surf_pts(x) - data_pts                                  # [N,3]
+        sw = jnp.sqrt(wgt)
+        Jw = Jn * sw[:, None, None]
+        rw = r * wgt[:, None]
+        JtJ = w_pt ** 2 * jax.lax.dot_general(
+            Jw, Jw, (((0, 1), (0, 1)), ((), ())), precision=_HI)
+        Jtr = w_pt ** 2 * jax.lax.dot_general(
+            Jn, rw, (((0, 1), (0, 1)), ((), ())), precision=_HI)
+        Jpl = jnp.einsum("nc,ncd->nd", fnrm, Jn, precision=_HI)     # [N,D]
+        rpl = jnp.sum(fnrm * r, -1)
+        JtJ = JtJ + w_pl ** 2 * jax.lax.dot_general(
+            Jpl * sw[:, None], Jpl * sw[:, None],
+            (((0,), (0,)), ((), ())), precision=_HI)
+        Jtr = Jtr + w_pl ** 2 * jax.lax.dot_general(
+            Jpl, rpl * wgt, (((0,), (0,)), ((), ())), precision=_HI)
+        pJtJ, pJtr = _prior_terms(ctx, parents, theta, Rg, bp, bs)
+        JtJ = JtJ + pJtJ
+        Jtr = Jtr + pJtr
+
+        d = jnp.diagonal(JtJ)
+        d = jnp.maximum(d, 1e-3 * jnp.max(d))
+        M = JtJ + lam * jnp.diag(d) + 1e-8 * jnp.eye(
+            JtJ.shape[0], dtype=dtype)
+        cho = jax.scipy.linalg.cho_factor(M)
+        delta = -jax.scipy.linalg.cho_solve(cho, Jtr)
+        trial = _retract(theta, delta, Rg, parents)
+        trial_fwd = _forward(ctx, parents, trial, use_jsr)
+        trial_cost = total_cost(trial, trial_fwd[0])
+
+        accept = trial_cost < cost
+        th_new = jax.tree.map(
+            lambda a_, b_: jnp.where(accept, a_, b_), trial, theta)
+        fwd_new = jax.tree.map(
+            lambda a_, b_: jnp.where(accept, a_, b_), trial_fwd, fwd)
+        lam_new = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-9),
+                            jnp.minimum(lam * 6.0, 1e6))
+        rel = jnp.abs(cost - trial_cost) / jnp.maximum(cost, 1e-20)
+        corr_stable = jnp.all(st.corr == corr_prev)
+        small = (rel < function_tolerance) & corr_stable
+        small_cnt_new = jnp.where(small, small_cnt + 1, 0)
+        return (th_new, fwd_new, lam_new, it + 1,
+                accepted + accept.astype(jnp.int32), small_cnt_new,
+                jnp.where(accept, trial_cost, cost), n_matched, st.corr)
+
+    def cond(state):
+        return (state[3] < n_steps) & (state[5] < 2)
+
+    fwd0 = _forward(ctx, parents, theta0, use_jsr)
+    init = (theta0, fwd0, jnp.asarray(1e-4, dtype),
+            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, dtype),
+            jnp.asarray(0.0, dtype), jnp.full(N, -2, jnp.int32))
+    (theta, _, lam, it, accepted, _, cost, n_matched,
+     corr_final) = jax.lax.while_loop(cond, step, init)
+    NP = num_parts or len(parents)
+    matched_f = corr_final >= 0
+    pidx = jnp.where(matched_f, jnp.clip(data_part, 0, NP - 1), NP)
+    part_counts = jnp.zeros(NP + 1, jnp.int32).at[pidx].add(1)[:NP]
+    return theta, FitDiag(cost=cost, n_matched=n_matched,
+                          inner_iters=accepted, part_counts=part_counts)

@@ -1,0 +1,154 @@
+"""Point-to-mesh (triangle) correspondence for the high-exactness fit.
+
+The per-frame tracking fit (gauss_newton.fit) matches each data point to the
+nearest model VERTEX — the reference does the same through its kd-tree
+(AvatarOptimizer.cpp:889-968) — and reduces matches to per-vertex sufficient
+statistics.  Point-to-vertex ICP has a convergence floor set by the vertex
+spacing: data points live on triangle interiors, so at the true pose every
+residual is ~half an edge length and their balance biases the optimum by a
+few millimeters (the BASELINE "<1 mm converged vertex RMSE" bar is below
+this floor for any usable mesh density).
+
+This module closes that gap with exact point-to-TRIANGLE correspondence:
+after the vertex NN, the closest point over the vertex's one-ring faces is
+found in closed form (branch-free Voronoi-region classification, vectorized
+over [N, R] candidate triangles), returning barycentric coordinates + the
+face id.  The matched surface point Sigma_i b_i x_{v_i} is exactly the point
+the depth camera measured when the pose is right, so the converged optimum
+is limited only by sensor quantization.
+
+Used by gauss_newton.fit_refine (per-datum Jacobians, no sufficient-
+statistics reduction — refine budgets are small and exactness is the goal).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def vertex_face_rings(faces: np.ndarray, num_verts: int,
+                      max_ring: int = 12) -> np.ndarray:
+    """[P, max_ring] int32: face ids incident to each vertex, -1 padded.
+
+    Host-side precompute (once per model).  Vertices with more than
+    ``max_ring`` incident faces keep an arbitrary subset — irrelevant in
+    practice (closed triangle meshes average 6) and the NN vertex's ring
+    only seeds the local search.
+    """
+    faces = np.asarray(faces)
+    ring = np.full((num_verts, max_ring), -1, np.int32)
+    fill = np.zeros(num_verts, np.int32)
+    for f, (a, b, c) in enumerate(faces):
+        for v in (a, b, c):
+            k = fill[v]
+            if k < max_ring:
+                ring[v, k] = f
+                fill[v] = k + 1
+    return ring
+
+
+def closest_point_triangle(p: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
+                           c: jnp.ndarray):
+    """Closest point on triangle(s) abc to point(s) p, branch-free.
+
+    All inputs broadcastable [..., 3].  Returns (bary [..., 3], d2 [...]).
+    Voronoi-region classification after Ericson, 'Real-Time Collision
+    Detection' §5.1.5, expressed as a where-cascade so it vectorizes on TPU.
+    """
+    ab = b - a
+    ac = c - a
+    ap = p - a
+    d1 = jnp.sum(ab * ap, -1)
+    d2_ = jnp.sum(ac * ap, -1)
+    bp = p - b
+    d3 = jnp.sum(ab * bp, -1)
+    d4 = jnp.sum(ac * bp, -1)
+    cp = p - c
+    d5 = jnp.sum(ab * cp, -1)
+    d6 = jnp.sum(ac * cp, -1)
+
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2_ - d1 * d6
+    vc = d1 * d4 - d3 * d2_
+
+    eps = 1e-30
+    # edge parameters (guarded divisions; selection masks decide relevance)
+    v_ab = d1 / jnp.where(jnp.abs(d1 - d3) < eps, 1.0, d1 - d3)
+    w_ac = d2_ / jnp.where(jnp.abs(d2_ - d6) < eps, 1.0, d2_ - d6)
+    den_bc = (d4 - d3) + (d5 - d6)
+    w_bc = (d4 - d3) / jnp.where(jnp.abs(den_bc) < eps, 1.0, den_bc)
+    denom = va + vb + vc
+    denom = jnp.where(jnp.abs(denom) < eps, 1.0, denom)
+    v_in = vb / denom
+    w_in = vc / denom
+
+    # region masks, evaluated in priority order (first hit wins)
+    m_a = (d1 <= 0) & (d2_ <= 0)
+    m_b = (d3 >= 0) & (d4 <= d3)
+    m_c = (d6 >= 0) & (d5 <= d6)
+    m_ab = (vc <= 0) & (d1 >= 0) & (d3 <= 0)
+    m_ac = (vb <= 0) & (d2_ >= 0) & (d6 <= 0)
+    m_bc = (va <= 0) & ((d4 - d3) >= 0) & ((d5 - d6) >= 0)
+
+    def sel(mask, val, other):
+        return jnp.where(mask, val, other)
+
+    # build (u, v, w) barycentric coords via the cascade (interior default)
+    u = 1.0 - v_in - w_in
+    v = v_in
+    w = w_in
+    u, v, w = (sel(m_bc, 0.0, u), sel(m_bc, 1.0 - w_bc, v), sel(m_bc, w_bc, w))
+    u, v, w = (sel(m_ac, 1.0 - w_ac, u), sel(m_ac, 0.0, v), sel(m_ac, w_ac, w))
+    u, v, w = (sel(m_ab, 1.0 - v_ab, u), sel(m_ab, v_ab, v), sel(m_ab, 0.0, w))
+    u, v, w = (sel(m_c, 0.0, u), sel(m_c, 0.0, v), sel(m_c, 1.0, w))
+    u, v, w = (sel(m_b, 0.0, u), sel(m_b, 1.0, v), sel(m_b, 0.0, w))
+    u, v, w = (sel(m_a, 1.0, u), sel(m_a, 0.0, v), sel(m_a, 0.0, w))
+
+    bary = jnp.stack([u, v, w], axis=-1)
+    cp_pt = u[..., None] * a + v[..., None] * b + w[..., None] * c
+    diff = p - cp_pt
+    return bary, jnp.sum(diff * diff, -1)
+
+
+def surface_correspond(data_pts: jnp.ndarray, corr_vertex: jnp.ndarray,
+                       x: jnp.ndarray, faces: jnp.ndarray,
+                       ring_faces: jnp.ndarray,
+                       face_front: jnp.ndarray | None = None):
+    """Refine a vertex NN into the closest point on its one-ring surface.
+
+    Args:
+      data_pts:    [N, 3] data cloud (padding rows arbitrary).
+      corr_vertex: [N] int32 NN model-vertex per data point (< 0 unmatched).
+      x:           [P, 3] posed model vertices.
+      faces:       [F, 3] int32 triangles.
+      ring_faces:  [P, R] int32 one-ring face ids (-1 padded).
+      face_front:  optional [F] bool — candidate faces must be front-facing
+                   (data comes from a depth camera; on thin parts the ring
+                   of a silhouette vertex contains back faces whose plane
+                   would otherwise capture the match).
+
+    Returns (tri_idx [N, 3] int32 vertex ids, bary [N, 3], normal [N, 3]
+    unit face normal, valid [N] bool).  Unmatched rows collapse onto
+    vertex 0 with zero weight — callers mask by ``valid``.
+    """
+    cid = jnp.maximum(corr_vertex, 0)
+    rf = ring_faces[cid]                                   # [N, R]
+    has = rf >= 0
+    rfc = jnp.maximum(rf, 0)
+    tv = faces[rfc]                                        # [N, R, 3]
+    a = x[tv[..., 0]]
+    b = x[tv[..., 1]]
+    c = x[tv[..., 2]]
+    bary, d2 = closest_point_triangle(data_pts[:, None, :], a, b, c)
+    if face_front is not None:
+        has = has & face_front[rfc]
+    d2 = jnp.where(has, d2, jnp.float32(3e38))
+    best = jnp.argmin(d2, axis=1)                          # [N]
+    n_ = jnp.arange(data_pts.shape[0])
+    tri_idx = tv[n_, best]                                 # [N, 3]
+    bary_b = bary[n_, best]                                # [N, 3]
+    fn = jnp.cross(b[n_, best] - a[n_, best], c[n_, best] - a[n_, best])
+    fn = fn / jnp.linalg.norm(fn, axis=-1, keepdims=True).clip(1e-12)
+    valid = (corr_vertex >= 0) & jnp.any(has, axis=1)
+    return tri_idx, bary_b, fn, valid

@@ -62,3 +62,27 @@ def time_jitted(fn: Callable, *args, iters: int = 20, warmup: int = 2,
     arr = np.asarray(samples)
     return {"mean_ms": float(arr.mean()), "min_ms": float(arr.min()),
             "p50_ms": float(np.median(arr)), "iters": iters}
+
+
+def time_amortized(fn: Callable, *args, iters: int = 20, warmup: int = 2,
+                   **kwargs) -> dict:
+    """Amortized device timing: dispatch ``iters`` calls back-to-back and
+    block ONCE at the end.
+
+    On a remote-tunnel deployment (this environment: one TPU chip behind a
+    high-RTT link) every blocking call in time_jitted pays a full link round
+    trip — 1-30+ ms that says nothing about the device.  Async PjRt dispatch
+    queues all ``iters`` executions on device; the single final block pays
+    one RTT amortized over the batch.  Returns {"ms", "iters"} where ``ms``
+    is per-call device+dispatch time.
+    """
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args, **kwargs)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args, **kwargs)
+    jax.block_until_ready(out)
+    return {"ms": (time.perf_counter() - t0) / iters * 1e3, "iters": iters}

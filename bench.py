@@ -323,8 +323,14 @@ def main():
     # converged-fit exactness (BASELINE.md "<1 mm fitted-mesh vertex RMSE"):
     # fit frame 0's oracle-labeled stride samples starting from the ground
     # truth and measure how far the solver drifts off the true mesh — the
-    # reference's per-frame converged accuracy, without the motion budget
+    # reference's per-frame converged accuracy, without the motion budget.
+    # Measured with fit_refine (point-to-MESH ICP, optim/surface.py) and
+    # near-zero priors: the probe isolates solver+correspondence exactness,
+    # so the tracking regularizers (which deliberately bias toward the pose
+    # prior) are turned off.  Gate: tests/test_surface.py asserts < 1 mm.
     from avatar_tpu.core.lbs import lbs as _lbs
+    from avatar_tpu.optim.gauss_newton import fit_refine as _fit_refine
+    from avatar_tpu.optim.surface import vertex_face_rings as _vfr
 
     _w0, _p0, _r0 = gt_theta0
     from avatar_tpu.optim.gauss_newton import Theta as _Theta
@@ -350,11 +356,12 @@ def main():
     if tracker._glut is not None:
         # the fit matches in group space; fold the oracle labels to match
         _parts0[:_n0] = np.asarray(tracker._glut)[_parts0[:_n0]]
-    _outg = _fit(tracker._ctx, model.parents, _jnp.asarray(_pts0),
-                 _jnp.asarray(_parts0), _theta_gt,
-                 _jnp.asarray(0.03, _jnp.float32),
-                 _jnp.asarray(0.12, _jnp.float32), n_steps=12,
-                 num_parts=tracker.num_parts)
+    _ring = _jnp.asarray(_vfr(np.asarray(model.faces), model.num_points()))
+    _outg = _fit_refine(tracker._ctx, model.parents, _ring,
+                        _jnp.asarray(_pts0), _jnp.asarray(_parts0), _theta_gt,
+                        _jnp.asarray(1e-4, _jnp.float32),
+                        _jnp.asarray(1e-4, _jnp.float32), n_steps=20,
+                        num_parts=tracker.num_parts)
     _vg, _, _, _ = _lbs(model.params, model.parents, _outg[0].w, _outg[0].p,
                         _outg[0].rots)
     fit_rmse_mm = float(np.sqrt(np.mean(np.sum(

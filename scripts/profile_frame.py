@@ -1,8 +1,11 @@
 """Per-stage device timing of the fused frame pipeline (bench config).
 
 Times each stage as its own jitted program on the active backend (forest
-walk, background subtraction + CC, blob suppression, GN/LM fit, full fused
-frame) so the device budget is attributable.  Run on TPU for real numbers:
+walk, background subtraction + CC, blob suppression, GN/LM fit and its
+sub-pieces, full fused frame) so the device budget is attributable.  All
+timings are AMORTIZED over chained async dispatches (one block per batch):
+on the remote-tunnel deployment a blocking call pays a 1-30 ms link round
+trip that says nothing about the device.  Run on TPU for real numbers:
 
     python scripts/profile_frame.py [--window]
 """
@@ -22,6 +25,7 @@ def main():
     ap.add_argument("--forest", default="data/bench_forest.srtr")
     ap.add_argument("--window", action="store_true",
                     help="time the tracked-window configuration")
+    ap.add_argument("--iters", type=int, default=30)
     args = ap.parse_args()
     if args.cpu:
         os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -36,11 +40,13 @@ def main():
     from avatar_tpu.perception.partgroups import SMPL24_GROUP_LUT
     from avatar_tpu.perception.rtree import RTree, forest_walk, \
         suppress_part_nonmax
-    from avatar_tpu.profiling import time_jitted
+    from avatar_tpu.profiling import time_amortized
     from avatar_tpu.render.renderer import AvatarRenderer
     from avatar_tpu.testing import synthetic_model
     from avatar_tpu.tracking import TrackerConfig
-    from avatar_tpu.tracking_fused import FusedTracker, fused_frame
+    from avatar_tpu.tracking_fused import FusedTracker
+
+    IT = args.iters
 
     H, W = 720, 1280
     intrin = CameraIntrin(fx=606.438, fy=606.351, cx=637.294, cy=366.992)
@@ -55,56 +61,73 @@ def main():
     depth = np.asarray(rend.render_depth((H, W)))
     scene = np.where(depth > 0, depth, 4.0).astype(np.float32)
 
-    tree = RTree(args.forest)
-    tree.partmap_type = 0
+    paths = [args.forest]
+    k = 1
+    while os.path.exists(args.forest.replace(".srtr", f"_{k}.srtr")):
+        paths.append(args.forest.replace(".srtr", f"_{k}.srtr"))
+        k += 1
+    trees = [RTree(p) for p in paths]
+    for t in trees:
+        t.partmap_type = 0
     cfg = TrackerConfig(data_interval=6, min_points=1000, frame_icp_iters=3,
                         iters_per_icp=4, label_conf_thresh=0.55,
                         rtree_interval=3, beta_temp=0.3,
                         render_label_tau=0.03,
                         part_groups=tuple(SMPL24_GROUP_LUT),
                         seg_window=(576, 448) if args.window else None)
-    tracker = FusedTracker(model, intrin, (H, W), rtree=tree, config=cfg)
+    tracker = FusedTracker(model, intrin, (H, W),
+                           rtree=trees if len(trees) > 1 else trees[0],
+                           config=cfg)
     tracker.set_background(np.full((H, W), 4.0, np.float32))
 
     ss = tracker._host_stride
     d_s = jnp.asarray(scene[::ss, ::ss])
+    u16 = jnp.asarray((np.asarray(d_s) * 1000).astype(np.uint16))
+    lab0 = jnp.zeros(tracker._proc_size, jnp.uint8)
+
+    def t(name, fn, *a, **kw):
+        r = time_amortized(fn, *a, iters=IT, **kw)
+        print(f"{name:<28}: {r['ms']:7.3f} ms")
+        return r["ms"]
+
+    # -- fused frame at several step budgets --------------------------------
+    # n_steps=0 skips the LM loop entirely: pure segmentation+assembly cost.
+    full12 = t("fused_frame 12 steps", lambda: tracker._run(u16, lab0, 12))
+    seg0 = t("fused_frame 0 steps (seg)", lambda: tracker._run(u16, lab0, 0))
+    full6 = t("fused_frame 6 steps", lambda: tracker._run(u16, lab0, 6))
+    print(f"{'  -> fit (12-0 delta)':<28}: {full12 - seg0:7.3f} ms"
+          f"   per-step {(full12 - full6) / 6.0:.3f}")
+
+    # -- stage pieces --------------------------------------------------------
     Hs, Ws = d_s.shape
     tl = jnp.asarray([0, 0], jnp.int32)
     br = jnp.asarray([Ws - 1, Hs - 1], jnp.int32)
-    t = tracker._tree
-
-    # -- forest walk ---------------------------------------------------------
     md = tracker._max_depth
-    r = time_jitted(lambda: forest_walk(t, d_s, md, 1, tl, br))
-    print(f"forest_walk[{Hs}x{Ws}]      : {r['min_ms']:.2f} ms")
-    if args.window:
-        wh, ww = (448 // ss, 576 // ss)
-        win = d_s[:wh, :ww]
-        r = time_jitted(lambda: forest_walk(t, win, md, 1, tl, br,
-                                            probe_img=d_s,
-                                            origin=(jnp.asarray(0), jnp.asarray(0))))
-        print(f"forest_walk[win {wh}x{ww}]: {r['min_ms']:.2f} ms")
+    tt = tracker._tree
+    if tt is not None and tt.u.ndim == 2:
+        t(f"forest_walk full {Hs}x{Ws}",
+          lambda: forest_walk(tt, d_s, md, 1, tl, br))
 
-    # -- bg subtraction + CC -------------------------------------------------
     from avatar_tpu.tracking_fused import _bg_subtract
 
     xyz = jnp.stack([d_s, d_s, d_s], axis=-1)
     bg = jnp.stack([tracker._bg] * 3, axis=-1)
     f_bg = jax.jit(lambda a, b: _bg_subtract(a, b, 0.02, 0.02, 10))
-    r = time_jitted(f_bg, xyz, bg)
-    print(f"bgsub+cc[{Hs}x{Ws}]        : {r['min_ms']:.2f} ms")
+    t(f"bgsub+cc {Hs}x{Ws}", f_bg, xyz, bg)
 
-    # -- blob suppression ----------------------------------------------------
     lab = jnp.zeros((Hs // 2, Ws // 2), jnp.uint8)
     com = jnp.zeros((2, tracker.num_parts), jnp.float32)
-    r = time_jitted(lambda: suppress_part_nonmax(
+    t("blob_suppress", lambda: suppress_part_nonmax(
         lab, com, tracker.num_parts, ss * 2, 0.001,
         jnp.asarray([0, 0], jnp.int32)))
-    print(f"blob_suppress            : {r['min_ms']:.2f} ms")
 
-    # -- fit (12 steps, bench operating point) ------------------------------
-    from avatar_tpu.optim.gauss_newton import fit
+    # -- fit sub-pieces ------------------------------------------------------
+    from avatar_tpu.optim.gauss_newton import Theta, _forward, \
+        _icp_jacobian, _prior_terms, fit
+    from avatar_tpu.optim import correspond
 
+    ctx = tracker._ctx_fit if tracker._ctx_fit is not None else tracker._ctx
+    P = ctx.lbs.weights.shape[0]
     rng = np.random.default_rng(0)
     npts = 4096
     pad = 8192
@@ -114,20 +137,59 @@ def main():
     pts[:npts] = gt.cloud[idx] + rng.normal(0, 0.002, (npts, 3))
     parts = np.full(pad, -1, np.int32)
     parts[:npts] = mp[idx]
+    ptsj = jnp.asarray(pts)
+    partsj = jnp.asarray(parts)
     th = tracker._theta
-    r = time_jitted(lambda: fit(
-        tracker._ctx, model.parents, jnp.asarray(pts), jnp.asarray(parts),
-        th, jnp.asarray(0.05, jnp.float32), jnp.asarray(0.12, jnp.float32),
-        n_steps=12, num_parts=tracker.num_parts))
-    print(f"fit[12 steps, pad {pad}] : {r['min_ms']:.2f} ms")
+    bp = jnp.asarray(0.05, jnp.float32)
+    bs = jnp.asarray(0.12, jnp.float32)
 
-    # -- full fused frame ----------------------------------------------------
-    u16 = jnp.asarray((np.asarray(d_s) * 1000).astype(np.uint16))
-    lab0 = jnp.zeros((Hs, Ws), jnp.uint8)
-    out = tracker._run(u16, lab0, 12)
-    jax.block_until_ready(out)
-    r = time_jitted(lambda: tracker._run(u16, lab0, 12))
-    print(f"fused_frame (device)     : {r['min_ms']:.2f} ms")
+    for steps in (12, 8, 1):
+        t(f"fit {steps} steps pad{pad}",
+          lambda s=steps: fit(ctx, model.parents, ptsj, partsj, th, bp, bs,
+                              n_steps=s, num_parts=tracker.num_parts))
+
+    fwd_fn = jax.jit(lambda th_: _forward(ctx, model.parents, th_, True),
+                     static_argnums=())
+    fwd = fwd_fn(th)
+    jax.block_until_ready(fwd)
+    t("  _forward", fwd_fn, th)
+    jac_fn = jax.jit(
+        lambda th_, f: _icp_jacobian(ctx, model.parents, th_, f))
+    t("  _icp_jacobian", jac_fn, th, fwd)
+
+    Jm = jac_fn(th, fwd)
+
+    def gram(J):
+        Jw = J * jnp.sqrt(jnp.ones(J.shape[0]))[:, None, None]
+        return jax.lax.dot_general(Jw, Jw, (((0, 1), (0, 1)), ((), ())),
+                                   precision=jax.lax.Precision.HIGHEST)
+
+    gram_fn = jax.jit(gram)
+    t("  gram JtJ", gram_fn, Jm)
+    JtJ = gram_fn(Jm)
+
+    def solve(M):
+        cho = jax.scipy.linalg.cho_factor(
+            M + 1e-2 * jnp.eye(M.shape[0], dtype=M.dtype))
+        return jax.scipy.linalg.cho_solve(cho, M[:, 0])
+
+    t("  cho_factor+solve 85", jax.jit(solve), JtJ)
+    pr_fn = jax.jit(lambda th_, Rg: _prior_terms(
+        ctx, model.parents, th_, Rg, bp, bs))
+    t("  _prior_terms", pr_fn, th, fwd[3])
+
+    x = fwd[0]
+    vis = jnp.ones(P, bool)
+    nn_fn = jax.jit(lambda d, dp, x_: correspond.find_nn_stats(
+        d, dp, x_, ctx.model_part, vis, chunk=512))
+    t("  find_nn (unplanned)", nn_fn, ptsj, partsj, x)
+    if correspond._pallas_enabled():
+        plan = correspond.make_nn_plan(ptsj, partsj, ctx.model_part,
+                                       num_parts=tracker.num_parts,
+                                       tile_n=256, chunk=512)
+        nnp_fn = jax.jit(lambda x_: correspond.find_nn_stats_planned(
+            plan, x_, vis))
+        t("  find_nn (planned)", nnp_fn, x)
 
 
 if __name__ == "__main__":
