@@ -61,7 +61,11 @@ class NNPlan(NamedTuple):
     """
     dpts: jnp.ndarray     # [N, 3] data sorted by part (padding rows first)
     dpart: jnp.ndarray    # [N] sorted labels (< 0 = padding)
-    mperm: jnp.ndarray    # [Pp] original model index per sorted slot
+    mperm: jnp.ndarray | None  # [Pp] original model index per sorted slot;
+    #                     None when the model axis is already part-sorted
+    #                     (a part-sorted FitContext), which removes one
+    #                     [P,3] + one [P] gather per LM step and the [N]
+    #                     corr un-permutation gather
     mpart_s: jnp.ndarray  # [Pp] sorted model part (pad slots = big)
     cstart: jnp.ndarray   # [N // tile_n] first model chunk per data tile
     cend: jnp.ndarray     # [N // tile_n] one-past-last model chunk per tile
@@ -71,8 +75,15 @@ class NNPlan(NamedTuple):
 
 def make_nn_plan(data_pts: jnp.ndarray, data_part: jnp.ndarray,
                  model_part: jnp.ndarray, num_parts: int,
-                 tile_n: int = 256, chunk: int = 512) -> NNPlan:
-    """Build the part-sorting plan (one argsort of each cloud's labels)."""
+                 tile_n: int = 256, chunk: int = 512,
+                 model_sorted: bool = False) -> NNPlan:
+    """Build the part-sorting plan (one argsort of each cloud's labels).
+
+    ``model_sorted=True`` asserts the model axis is ALREADY sorted by part
+    (e.g. a part-sorted FitContext): the model permutation becomes identity
+    and is dropped, so the per-step sorted-gather of the posed cloud and the
+    corr un-permutation disappear from the fit loop.
+    """
     N = data_pts.shape[0]
     P = model_part.shape[0]
     assert N % tile_n == 0
@@ -81,12 +92,17 @@ def make_nn_plan(data_pts: jnp.ndarray, data_part: jnp.ndarray,
     dpts = data_pts[order]
     dpart = data_part[order]
 
-    mperm = jnp.argsort(model_part).astype(jnp.int32)
-    mpart_s = model_part[mperm].astype(jnp.int32)
+    if model_sorted:
+        mperm = None
+        mpart_s = model_part.astype(jnp.int32)
+    else:
+        mperm = jnp.argsort(model_part).astype(jnp.int32)
+        mpart_s = model_part[mperm].astype(jnp.int32)
     pad = (-P) % chunk
     if pad:
         # pad slots point at vertex 0 but carry an unmatchable part label
-        mperm = jnp.concatenate([mperm, jnp.zeros((pad,), jnp.int32)])
+        if mperm is not None:
+            mperm = jnp.concatenate([mperm, jnp.zeros((pad,), jnp.int32)])
         mpart_s = jnp.concatenate(
             [mpart_s, jnp.full((pad,), 2 ** 30, jnp.int32)])
 
@@ -120,8 +136,16 @@ def find_nn_stats_planned(plan: NNPlan, model_cloud: jnp.ndarray,
     P = model_cloud.shape[0]
     dtype = model_cloud.dtype
     center = jnp.mean(model_cloud, axis=0)
-    xs = (model_cloud - center)[plan.mperm]          # sorted + recentered
-    vis_s = visible[plan.mperm]
+    if plan.mperm is None:
+        pad = plan.mpart_s.shape[0] - P
+        xs = model_cloud - center
+        vis_s = visible
+        if pad:
+            xs = jnp.concatenate([xs, jnp.zeros((pad, 3), dtype)])
+            vis_s = jnp.concatenate([vis_s, jnp.zeros((pad,), jnp.bool_)])
+    else:
+        xs = (model_cloud - center)[plan.mperm]      # sorted + recentered
+        vis_s = visible[plan.mperm]
     dpts_c = plan.dpts - center
 
     from avatar_tpu.optim.nn_pallas import nn_argmin_ranges
@@ -132,7 +156,10 @@ def find_nn_stats_planned(plan: NNPlan, model_cloud: jnp.ndarray,
         interpret=interpret)
 
     matched = (best_i >= 0) & (plan.dpart >= 0)
-    corr = jnp.where(matched, plan.mperm[jnp.maximum(best_i, 0)], -1)
+    if plan.mperm is None:
+        corr = jnp.where(matched, best_i, -1)
+    else:
+        corr = jnp.where(matched, plan.mperm[jnp.maximum(best_i, 0)], -1)
     wgt = matched.astype(dtype)
     if with_stats:
         idx = jnp.where(matched, corr, P)

@@ -126,8 +126,15 @@ def _vertex_normals(x: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
     return vn / jnp.linalg.norm(vn, axis=-1, keepdims=True).clip(1e-12)
 
 
-def _icp_jacobian(ctx: FitContext, parents, theta: Theta, fwd):
-    """Analytic d(posed point)/d(delta) for every model point: [P, 3, D]."""
+def _icp_jacobian(ctx: FitContext, parents, theta: Theta, fwd,
+                  with_shape: bool = True):
+    """Analytic d(posed point)/d(delta) for every model point: [P, 3, D].
+
+    ``with_shape=False`` drops the shape-key columns (D = 3 + 3J): the
+    steady-state tracking fit freezes shape outside reinit frames — the
+    [P,3,K] shape-Jacobian einsums are ~12% of the fit step and shape keys
+    barely move frame to frame once fit.
+    """
     x, shaped, j_init, Rg, tg, A = fwd
     W = ctx.lbs.weights
     P = W.shape[0]
@@ -152,6 +159,10 @@ def _icp_jacobian(ctx: FitContext, parents, theta: Theta, fwd):
     r2 = jnp.stack([gy, -gx, zz], axis=-1)
     Jrot = jnp.stack([r0, r1, r2], axis=1).reshape(P, 3, 3 * J)
 
+    Jpos = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (P, 3, 3))
+    if not with_shape:
+        return jnp.concatenate([Jpos, Jrot], axis=2)              # [P,3,3+3J]
+
     # --- shape block: A_p D_p - W (Rg_k S_k - H_k) -------------------------
     S = ctx.lbs.joint_shape_reg                                   # [J,3,K]
     Sp = [jnp.zeros((3, K), dtype)]
@@ -165,8 +176,6 @@ def _icp_jacobian(ctx: FitContext, parents, theta: Theta, fwd):
     Jshape = jnp.einsum("pab,pbk->pak", A, ctx.lbs.shapedirs,
                         precision=_HI) - jnp.einsum(
         "pj,jak->pak", W, M, precision=_HI)                       # [P,3,K]
-
-    Jpos = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (P, 3, 3))
     return jnp.concatenate([Jpos, Jrot, Jshape], axis=2)          # [P,3,D]
 
 
@@ -240,7 +249,8 @@ def _retract(theta: Theta, delta: jnp.ndarray, Rg, parents) -> Theta:
 @functools.partial(
     jax.jit,
     static_argnames=("parents", "use_jsr", "n_steps", "enable_occlusion",
-                     "chunk", "robust", "num_parts", "robust_per_part"))
+                     "chunk", "robust", "num_parts", "robust_per_part",
+                     "freeze_shape", "model_sorted"))
 def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
         data_part: jnp.ndarray, theta0: Theta, beta_pose: jnp.ndarray,
         beta_shape: jnp.ndarray, n_steps: int,
@@ -254,7 +264,9 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
         robust_per_part: bool = False,
         beta_temp: jnp.ndarray | float = 0.0,
         clamp_angle: jnp.ndarray | float = 0.0,
-        clamp_support: jnp.ndarray | float = 10.0) -> Tuple[Theta, FitDiag]:
+        clamp_support: jnp.ndarray | float = 10.0,
+        freeze_shape: bool = False,
+        model_sorted: bool = False) -> Tuple[Theta, FitDiag]:
     """Full avatar fit (the reference's AvatarOptimizer::optimize) as one
     jitted program.
 
@@ -307,8 +319,13 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
     # temporal-prior constants (frame-start rotations + tangent-dim mask)
     rots0 = theta0.rots
     J_all = len(parents)
-    D_all = 3 + 3 * J_all + ctx.lbs.shapedirs.shape[2]
-    rot_dims = jnp.zeros(D_all, dtype).at[3:3 + 3 * J_all].set(1.0)
+    K_all = ctx.lbs.shapedirs.shape[2]
+    D_all = 3 + 3 * J_all + K_all
+    # freeze_shape: solve in the reduced tangent [dp | dr] (D = 3 + 3J) and
+    # keep w fixed -- the steady-state tracker's shape is already fit, and
+    # the [P,3,K] shape-Jacobian einsums + wider gram are ~12% of the step
+    D_fit = 3 + 3 * J_all if freeze_shape else D_all
+    rot_dims = jnp.zeros(D_fit, dtype).at[3:3 + 3 * J_all].set(1.0)
     parent_arr = jnp.asarray(
         [parents[j] if parents[j] >= 0 else 0 for j in range(J_all)])
 
@@ -321,9 +338,21 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
     if use_plan:
         plan = correspond.make_nn_plan(
             data_pts, data_part, ctx.model_part,
-            num_parts=num_parts or len(parents), tile_n=256, chunk=chunk)
+            num_parts=num_parts or len(parents), tile_n=256, chunk=chunk,
+            model_sorted=model_sorted)
         data_pts = plan.dpts
         data_part = plan.dpart
+
+    # Per-part one-hot matrix (loop-invariant): the per-part robust scale
+    # needs sums of |r| and counts grouped by data label every step.  A
+    # scatter-add costs ~1.6 ms/step on v5e; as a [N, NP]^T x [N, 2] matmul
+    # it rides the MXU for ~0.05 ms.  Invalid/padding rows are all-zero.
+    # (Built after the plan so rows align with the sorted data order.)
+    if robust and robust_per_part:
+        NP_r = num_parts or len(parents)
+        part_oh = (jax.nn.one_hot(jnp.clip(data_part, 0, NP_r - 1), NP_r,
+                                  dtype=dtype)
+                   * (data_part >= 0).astype(dtype)[:, None])     # [N, NP]
 
     def step(state):
         theta, fwd, lam, it, accepted, small_cnt, _, _, corr_prev = state
@@ -352,15 +381,16 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
                 # Per-part scale: a single global median downweights
                 # exactly the fast-moving extremities (their residuals sit
                 # in the global tail even when they are the part's norm),
-                # so hands/feet lag the data.  Group the scale by body part.
-                NP = num_parts or len(parents)
-                pidx = jnp.where(valid, jnp.clip(data_part, 0, NP - 1), NP)
-                acc = jnp.zeros((NP + 1, 2), dtype).at[pidx].add(
-                    jnp.stack([jnp.where(valid, dist, 0.0),
-                               valid.astype(dtype)], axis=1))
-                mean_p = acc[:NP, 0] / jnp.maximum(acc[:NP, 1], 1.0)
+                # so hands/feet lag the data.  Group the scale by body part
+                # via the precomputed one-hot matmul (MXU, not scatter).
+                vw = valid.astype(dtype)
+                acc = jax.lax.dot_general(
+                    part_oh, jnp.stack([dist * vw, vw], axis=1),
+                    (((0,), (0,)), ((), ())), precision=_HI)      # [NP, 2]
+                mean_p = acc[:, 0] / jnp.maximum(acc[:, 1], 1.0)
                 delta_h = jnp.maximum(
-                    huber_k * mean_p[jnp.clip(data_part, 0, NP - 1)], 1e-3)
+                    huber_k * jnp.einsum("np,p->n", part_oh, mean_p,
+                                         precision=_HI), 1e-3)
             else:
                 big = jnp.where(valid, dist, jnp.nan)
                 med = jnp.nan_to_num(jnp.nanmedian(big), nan=0.01)
@@ -394,7 +424,8 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
                     _prior_cost(ctx, th, bp, bs))
 
         cost = total_cost(theta, x)
-        Jm = _icp_jacobian(ctx, parents, theta, fwd)              # [P,3,D]
+        Jm = _icp_jacobian(ctx, parents, theta, fwd,
+                           with_shape=not freeze_shape)           # [P,3,D]
         rhs = cnt[:, None] * x - s                                # [P,3]
         # weighted gram: contract (P, resid) of [P,3,D] x [P,3,D] in one
         # dot_general — an explicit reshape + .T materializes two 7 MB
@@ -413,8 +444,10 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
             Jpl, jnp.sum(vn * rhs, -1), (((0,), (0,)), ((), ())),
             precision=_HI)
         pJtJ, pJtr = _prior_terms(ctx, parents, theta, Rg, bp, bs)
-        JtJ = JtJ + pJtJ
-        Jtr = Jtr + pJtr
+        # the shape prior occupies exactly the trailing K x K block, so the
+        # frozen-shape slice removes it and nothing else
+        JtJ = JtJ + pJtJ[:D_fit, :D_fit]
+        Jtr = Jtr + pJtr[:D_fit]
         # temporal pose prior: residual log(R_j R_j0^T) per joint, Jacobian
         # C_j^T wrt the global-frame tangent (block-diagonal) -- damps
         # joints the data does not constrain toward the frame-start pose
@@ -437,6 +470,8 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
             JtJ.shape[0], dtype=dtype)
         cho = jax.scipy.linalg.cho_factor(M)
         delta = -jax.scipy.linalg.cho_solve(cho, Jtr)
+        if freeze_shape:
+            delta = jnp.concatenate([delta, jnp.zeros(K_all, dtype)])
         trial = _retract(theta, delta, Rg, parents)
         trial_fwd = _forward(ctx, parents, trial, use_jsr)
         trial_cost = total_cost(trial, trial_fwd[0])

@@ -123,7 +123,9 @@ def _fused_frame_impl(ctx: FitContext, ctx_fit: Optional[FitContext],
                       beta_temp: float = 0.0,
                       clamp_angle: float = 0.0,
                       boost_n: int = 0,
-                      boost_groups: Tuple[int, ...] = ()) -> FrameOut:
+                      boost_groups: Tuple[int, ...] = (),
+                      freeze_shape: bool = False,
+                      fit_sorted: bool = False) -> FrameOut:
     """One tracked frame, fully on device.
 
     depth [H, W] f32 meters (or uint16 millimeters — converted here), so the
@@ -366,7 +368,8 @@ def _fused_frame_impl(ctx: FitContext, ctx_fit: Optional[FitContext],
                       num_parts=num_parts, point_weight=point_weight,
                       plane_weight=plane_weight, huber_k=huber_k,
                       robust_per_part=robust_per_part, beta_temp=beta_temp,
-                      clamp_angle=clamp_angle)
+                      clamp_angle=clamp_angle, freeze_shape=freeze_shape,
+                      model_sorted=fit_sorted and ctx_fit is not None)
     host_diag = jnp.concatenate([
         n_points[None].astype(depth_s.dtype),
         diag.cost[None].astype(depth_s.dtype),
@@ -382,7 +385,7 @@ fused_frame = functools.partial(jax.jit, static_argnames=(
     "parents", "seg_stride", "data_substride", "n_steps", "num_parts",
     "max_depth", "use_forest", "use_bgsub", "use_jsr", "pad_n",
     "seg_window", "robust_per_part", "use_render_labels", "boost_n",
-    "boost_groups"))(_fused_frame_impl)
+    "boost_groups", "freeze_shape", "fit_sorted"))(_fused_frame_impl)
 
 
 @functools.partial(
@@ -390,7 +393,8 @@ fused_frame = functools.partial(jax.jit, static_argnames=(
     static_argnames=("parents", "seg_stride", "data_substride", "n_steps",
                      "num_parts", "max_depth", "use_forest", "use_bgsub",
                      "use_jsr", "pad_n", "seg_window", "robust_per_part",
-                     "use_render_labels", "boost_n", "boost_groups"))
+                     "use_render_labels", "boost_n", "boost_groups",
+                     "freeze_shape", "fit_sorted"))
 def fused_frames_batch(ctx, ctx_fit, tree, parents, depth_b, labels_b,
                        bg_depth, intrin4, theta0: Theta, com_pre,
                        beta_pose, beta_shape, nn_t, nb_t, min_cc_pts,
@@ -404,7 +408,9 @@ def fused_frames_batch(ctx, ctx_fit, tree, parents, depth_b, labels_b,
                        use_render_labels: bool = False,
                        render_tau: float = 0.06, beta_temp: float = 0.0,
                        clamp_angle: float = 0.0, boost_n: int = 0,
-                       boost_groups: Tuple[int, ...] = ()):
+                       boost_groups: Tuple[int, ...] = (),
+                       freeze_shape: bool = False,
+                       fit_sorted: bool = False):
     """Track a whole BATCH of consecutive frames in one dispatch.
 
     A lax.scan over _fused_frame_impl carrying (theta, com_pre).  On a
@@ -424,7 +430,7 @@ def fused_frames_batch(ctx, ctx_fit, tree, parents, depth_b, labels_b,
             num_parts, max_depth, use_forest, use_bgsub, use_jsr, pad_n,
             seg_window, conf_thresh, point_weight, plane_weight, huber_k,
             robust_per_part, use_render_labels, render_tau, beta_temp,
-            clamp_angle, boost_n, boost_groups)
+            clamp_angle, boost_n, boost_groups, freeze_shape, fit_sorted)
         return (out.theta, out.com_pre), (out.theta, out.host_diag)
 
     (theta_f, com_f), (thetas, diags) = jax.lax.scan(
@@ -554,10 +560,17 @@ class FusedTracker:
         # normal deviation is negligible for occlusion/plane purposes
         fvs = max(1, int(getattr(self.config, "fit_vertex_stride", 1)))
         self._ctx_fit = None
-        # non-JSR models regress joints from the full vertex set; a subset
-        # would corrupt them, so only subsample when joints come from the
-        # joint-shape regressor
-        if fvs > 1 and model.use_joint_shape_regressor:
+        self._fit_sorted = False
+        # Dedicated fit context: every fvs-th vertex, PART-SORTED so the
+        # NN plan's model permutation is identity (drops one [P,3] + one
+        # [P] gather per LM step and the corr un-permutation — ~1.7 ms of
+        # a 12-step fit on v5e), with rest-pose normals precomputed on the
+        # FULL mesh (subset vertices don't form a mesh) at w=0.
+        # Non-JSR models regress joints from the full vertex set: a strict
+        # subset would corrupt them, but a pure permutation (fvs == 1)
+        # reorders the regressor columns consistently, so sorting is
+        # always legal at fvs == 1.
+        if fvs == 1 or model.use_joint_shape_regressor:
             lp = model.params
             vt = np.asarray(lp.v_template)
             fc = np.asarray(model.faces)
@@ -569,22 +582,26 @@ class FusedTracker:
             n0 /= np.maximum(np.linalg.norm(n0, axis=1, keepdims=True),
                              1e-12)
             sel = np.arange(0, vt.shape[0], fvs)
+            mp_sel = np.asarray(self._ctx.model_part)[sel]
+            idx = sel[np.argsort(mp_sel, kind="stable")]
             from avatar_tpu.core.lbs import LBSParams
 
             lbs_sub = LBSParams(
-                v_template=jnp.asarray(vt[sel], model.dtype),
-                shapedirs=jnp.asarray(np.asarray(lp.shapedirs)[sel],
+                v_template=jnp.asarray(vt[idx], model.dtype),
+                shapedirs=jnp.asarray(np.asarray(lp.shapedirs)[idx],
                                       model.dtype),
-                weights=jnp.asarray(np.asarray(lp.weights)[sel],
+                weights=jnp.asarray(np.asarray(lp.weights)[idx],
                                     model.dtype),
-                joint_reg=jnp.asarray(np.asarray(lp.joint_reg)[:, sel],
+                joint_reg=jnp.asarray(np.asarray(lp.joint_reg)[:, idx],
                                       model.dtype),
                 joint_shape_reg_base=lp.joint_shape_reg_base,
                 joint_shape_reg=lp.joint_shape_reg)
             self._ctx_fit = self._ctx._replace(
                 lbs=lbs_sub,
-                model_part=self._ctx.model_part[jnp.asarray(sel)],
-                n_rest=jnp.asarray(n0[sel], model.dtype))
+                model_part=jnp.asarray(
+                    np.asarray(self._ctx.model_part)[idx], jnp.int32),
+                n_rest=jnp.asarray(n0[idx], model.dtype))
+            self._fit_sorted = True
         self._max_depth = (max(t._max_depth for t in rtrees)
                            if rtrees else 0)
         self._use_bgsub = False
@@ -634,14 +651,30 @@ class FusedTracker:
         self._bg = jnp.zeros(self._proc_size, model.dtype)
         dsub = max(c.data_interval // ss, 1)
         self._data_substride = dsub
-        self._boost_n = (c.extremity_boost_n
-                         if self._glut is not None else 0)
+        self._boost_cfg = (c.extremity_boost_n
+                           if self._glut is not None else 0)
         Hs, Ws = self._proc_size
         n_data = ((Hs + dsub - 1) // dsub) * ((Ws + dsub - 1) // dsub)
+        self._pad_n, self._boost_n = self._fit_bucket(n_data)
+
+    def _fit_bucket(self, n_data: int) -> Tuple[int, int]:
+        """(pad_n, boost_n) for a fit over ``n_data`` grid samples.
+
+        pad_n is the power-of-two static bucket.  The extremity boost is
+        clamped into the bucket's slack when crossing a power-of-two
+        boundary would be mostly padding: doubling pad_n doubles every
+        data-axis op in the NN kernel and fit loop, which is never worth a
+        handful of extra boost samples.
+        """
+        want = self._boost_cfg
         pad = 1024
-        while pad < n_data + self._boost_n:
+        while pad < n_data:
             pad *= 2
-        self._pad_n = pad
+        slack = pad - n_data
+        if want > slack and slack < want // 2:
+            pad *= 2
+            slack = pad - n_data
+        return pad, min(want, slack)
 
     def _pre_stride(self, arr: np.ndarray) -> np.ndarray:
         s = self._host_stride
@@ -704,7 +737,7 @@ class FusedTracker:
         c = self.config
         hs = self._host_stride
         window = None
-        pad_n = self._pad_n
+        pad_n, boost_n = self._pad_n, self._boost_n
         if (use_window and c.seg_window is not None and
                 self.rtree is not None):
             Hs, Ws = self._proc_size
@@ -712,9 +745,7 @@ class FusedTracker:
                       min(c.seg_window[1] // hs, Ws))
             dsub = self._data_substride
             n_data = (-(-window[0] // dsub)) * (-(-window[1] // dsub))
-            pad_n = 1024
-            while pad_n < n_data + self._boost_n:
-                pad_n *= 2
+            pad_n, boost_n = self._fit_bucket(n_data)
         consts = self._consts()
         return fused_frame(
             self._ctx, self._ctx_fit, self._tree,
@@ -743,8 +774,12 @@ class FusedTracker:
             beta_temp=consts["zero"] if is_reinit else consts["beta_temp"],
             clamp_angle=(consts["zero"] if is_reinit
                          else consts["clamp_angle"]),
-            boost_n=self._boost_n,
-            boost_groups=tuple(c.extremity_boost_groups))
+            boost_n=boost_n,
+            boost_groups=tuple(c.extremity_boost_groups),
+            # steady-state frames solve in the reduced [dp | dr] tangent;
+            # shape keys are fit during (re)init frames only
+            freeze_shape=not is_reinit,
+            fit_sorted=self._fit_sorted)
 
     def track(self, frame, labels_override: Optional[np.ndarray] = None):
         """Track one frame.  ``frame`` is an XYZ map [H, W, 3], a float
@@ -863,7 +898,7 @@ class FusedTracker:
         c = self.config
         consts = self._consts()
         window = None
-        pad_n = self._pad_n
+        pad_n, boost_n = self._pad_n, self._boost_n
         if c.seg_window is not None and self.rtree is not None:
             Hs, Ws = self._proc_size
             hs = self._host_stride
@@ -871,9 +906,7 @@ class FusedTracker:
                       min(c.seg_window[1] // hs, Ws))
             dsub = self._data_substride
             n_data = (-(-window[0] // dsub)) * (-(-window[1] // dsub))
-            pad_n = 1024
-            while pad_n < n_data + self._boost_n:
-                pad_n *= 2
+            pad_n, boost_n = self._fit_bucket(n_data)
         return fused_frames_batch(
             self._ctx, self._ctx_fit, self._tree, self.model.parents,
             xyz_b, labels_b, self._bg, self._intrin4, self._theta,
@@ -897,8 +930,12 @@ class FusedTracker:
             render_tau=consts["render_tau"],
             beta_temp=consts["beta_temp"],
             clamp_angle=consts["clamp_angle"],
-            boost_n=self._boost_n,
-            boost_groups=tuple(c.extremity_boost_groups))
+            boost_n=boost_n,
+            boost_groups=tuple(c.extremity_boost_groups),
+            # the batch path is steady-state by construction (reinit runs
+            # through the synchronous path first)
+            freeze_shape=True,
+            fit_sorted=self._fit_sorted)
 
     def track_batch(self, frames, labels_override=None):
         """Track a list of consecutive frames in ONE device dispatch.

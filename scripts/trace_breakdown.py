@@ -53,7 +53,14 @@ def capture(steps: int, reps: int, window: bool, outdir: str):
     depth = np.asarray(rend.render_depth((H, W)))
     scene = np.where(depth > 0, depth, 4.0).astype(np.float32)
 
-    paths = sorted(glob.glob("data/bench_forest*.srtr"))
+    # match bench.py's cache loading exactly: the base tree plus bagged
+    # siblings _1, _2, ... (a bare glob would also pull in unrelated
+    # experiment files like bench_forest_g14c.srtr)
+    paths = ["data/bench_forest.srtr"]
+    k = 1
+    while os.path.exists(f"data/bench_forest_{k}.srtr"):
+        paths.append(f"data/bench_forest_{k}.srtr")
+        k += 1
     trees = [RTree(p) for p in paths]
     for t in trees:
         t.partmap_type = 0
@@ -88,6 +95,8 @@ def analyze(outdir: str, reps: int, top: int):
         print("no trace found under", outdir)
         return
     dur_by_op = defaultdict(float)
+    INNER = defaultdict(lambda: defaultdict(float))
+    long_names = {}
     total = 0.0
     for f in files:
         with gzip.open(f, "rt") as fh:
@@ -102,6 +111,7 @@ def analyze(outdir: str, reps: int, top: int):
                 if ev.get("name") == "thread_name":
                     tid_names[(ev["pid"], ev.get("tid"))] = \
                         ev["args"].get("name", "")
+        by_lane = defaultdict(list)
         for ev in data.get("traceEvents", []):
             if ev.get("ph") != "X":
                 continue
@@ -112,9 +122,29 @@ def analyze(outdir: str, reps: int, top: int):
                 continue
             if "/device:" not in pname and "TPU" not in pname:
                 continue
-            dur = ev.get("dur", 0) / 1e3  # us -> ms
-            dur_by_op[ev.get("name", "?")] += dur
-            total += dur
+            by_lane[(ev.get("pid"), ev.get("tid"))].append(ev)
+        for lane in by_lane.values():
+            # keep TOP-LEVEL events only: while-loop bodies re-emit their
+            # inner fusions as nested events on the same lane, which would
+            # double-count the loop total
+            lane.sort(key=lambda e: (e["ts"], -e.get("dur", 0)))
+            open_end = -1.0
+            parent = None
+            for ev in lane:
+                ts, dur = ev["ts"], ev.get("dur", 0)
+                name = ev.get("name", "?")
+                args = ev.get("args") or {}
+                ln = args.get("long_name") or args.get("tf_op") or ""
+                if ln and name not in long_names:
+                    long_names[name] = ln
+                if ts < open_end:     # nested inside a previous event
+                    if parent is not None:
+                        INNER[parent][name] += dur / 1e3
+                    continue
+                open_end = ts + dur
+                parent = name
+                dur_by_op[name] += dur / 1e3
+                total += dur / 1e3
     per_frame = total / reps
     print(f"total device time: {total:.2f} ms over {reps} frames "
           f"-> {per_frame:.3f} ms/frame")
@@ -139,7 +169,18 @@ def analyze(outdir: str, reps: int, top: int):
         print(f"  {k:<16} {v / reps:8.3f}")
     print(f"\ntop {top} ops (ms/frame):")
     for name, d in sorted(dur_by_op.items(), key=lambda x: -x[1])[:top]:
-        print(f"  {d / reps:8.3f}  {name[:110]}")
+        ln = long_names.get(name, "")
+        print(f"  {d / reps:8.3f}  {name[:60]}  {ln[:140]}")
+    for wname, inner in sorted(INNER.items(),
+                               key=lambda x: -sum(x[1].values()))[:3]:
+        tot = sum(inner.values())
+        if tot < 1.0:
+            continue
+        print(f"\ninner breakdown of {wname} "
+              f"({tot / reps:.3f} ms/frame nested):")
+        for name, d in sorted(inner.items(), key=lambda x: -x[1])[:top]:
+            ln = long_names.get(name, "")
+            print(f"  {d / reps:8.3f}  {name[:48]}  {ln[:120]}")
 
 
 def main():
