@@ -195,10 +195,183 @@ class ViconSkeleton:
                 visit(b.name)
         return out
 
-    def smpl_joints(self, frame_id: int = -1) -> np.ndarray:
+    # -- posed-state navigation + joint ops -------------------------------------
+    # The reference keeps a mutable posed skeleton (global joint positions)
+    # with frame navigation (ViconSkeleton.cpp:253-310) and declares a
+    # joint-op API -- translate/rotate/scale of a bone and its subtree
+    # (ViconSkeleton.h:36-74; the .cpp never defines these, so the header
+    # comments are the spec).  Here the posed state is ``self.pos``
+    # {joint_name: global [3]}, created on first use at the rest pose.
+
+    @property
+    def pos(self) -> Dict[str, np.ndarray]:
+        if not hasattr(self, "_pos") or self._pos is None:
+            self.rest()
+        return self._pos
+
+    def load_frame(self, frame: int) -> None:
+        """Set the posed state to AMC frame ``frame`` (1-based like the
+        reference; 0 = rest pose).  ViconSkeleton.cpp:253-266."""
+        if frame <= 0:
+            self._pos = self.joint_positions(-1)
+        else:
+            self._pos = self.joint_positions(frame - 1)
+        self._cur_frame = max(0, min(frame, self.num_frames))
+
+    def rest(self) -> None:
+        """Reset the posed state to the rest pose (= load_frame(0));
+        ViconSkeleton.cpp:268-271."""
+        self.load_frame(0)
+
+    @property
+    def cur_frame(self) -> int:
+        return getattr(self, "_cur_frame", 0)
+
+    def next_frame(self, num: int = 1, loop: bool = False) -> bool:
+        """Advance ``num`` frames (ViconSkeleton.cpp:284-295)."""
+        if not self.frames:
+            return False
+        nxt = self.cur_frame + num
+        if nxt > self.num_frames:
+            if not loop:
+                return False
+            nxt = (nxt - 1) % self.num_frames + 1
+        self.load_frame(nxt)
+        return True
+
+    def prev_frame(self, num: int = 1, loop: bool = False) -> bool:
+        """Rewind ``num`` frames (ViconSkeleton.cpp:297-308)."""
+        if not self.frames:
+            return False
+        prv = self.cur_frame - num
+        if prv < 1:
+            if not loop:
+                return False
+            prv = (prv - 1) % self.num_frames + 1
+        self.load_frame(prv)
+        return True
+
+    def _subtree(self, name: str) -> List[str]:
+        """``name`` plus every descendant bone, preorder."""
+        out = []
+        stack = [name]
+        while stack:
+            n = stack.pop()
+            out.append(n)
+            if n == "root":
+                stack.extend(b.name for b in self.bones.values()
+                             if b.parent in (None, "root"))
+            else:
+                stack.extend(self.bones[n].children)
+        return out
+
+    def _parent_pos(self, name: str) -> np.ndarray:
+        parent = self.bones[name].parent or "root"
+        return self.pos[parent]
+
+    def local_pos(self, name: str) -> np.ndarray:
+        """Vector from the parent joint (global position for root);
+        ViconSkeleton.h:36-38."""
+        if name == "root":
+            return self.pos["root"].copy()
+        return self.pos[name] - self._parent_pos(name)
+
+    def set_local_pos(self, name: str, v) -> None:
+        """Set the local position, carrying the subtree along
+        (ViconSkeleton.h:40-42; root sets the global position)."""
+        v = np.asarray(v, float)
+        if name == "root":
+            self.translate("root", v - self.pos["root"])
+        else:
+            self.translate(name, self._parent_pos(name) + v - self.pos[name])
+
+    def bone_length(self, name: str) -> float:
+        """Current length of the bone ending at ``name``
+        (ViconSkeleton.h:44-45)."""
+        return float(np.linalg.norm(self.local_pos(name)))
+
+    def translate(self, name: str, v) -> None:
+        """Translate the joint and its whole subtree by ``v``
+        (ViconSkeleton.h:47-48)."""
+        v = np.asarray(v, float)
+        for n in self._subtree(name):
+            self.pos[n] = self.pos[n] + v
+
+    def rotate(self, name: str, R) -> None:
+        """Rotate the bone ending at ``name`` and its subtree by rotation
+        matrix ``R`` about the parent joint (ViconSkeleton.h:50-53; no-op
+        on root)."""
+        if name == "root":
+            return
+        R = np.asarray(R, float)
+        origin = self._parent_pos(name)
+        for n in self._subtree(name):
+            self.pos[n] = origin + R @ (self.pos[n] - origin)
+
+    @staticmethod
+    def _align_rotation(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        """Minimal rotation taking direction a -> direction b."""
+        a = a / max(np.linalg.norm(a), 1e-12)
+        b = b / max(np.linalg.norm(b), 1e-12)
+        v = np.cross(a, b)
+        c = float(np.dot(a, b))
+        if np.linalg.norm(v) < 1e-12:
+            if c > 0:
+                return np.eye(3)
+            # antiparallel: rotate pi about any axis orthogonal to a
+            axis = np.cross(a, [1.0, 0.0, 0.0])
+            if np.linalg.norm(axis) < 1e-6:
+                axis = np.cross(a, [0.0, 1.0, 0.0])
+            axis /= np.linalg.norm(axis)
+            return 2.0 * np.outer(axis, axis) - np.eye(3)
+        vx = np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
+        return np.eye(3) + vx + vx @ vx / (1.0 + c)
+
+    def rotate_to(self, name: str, v) -> None:
+        """Rotate the bone (+ subtree) so it points along ``v``
+        (ViconSkeleton.h:55-59)."""
+        if name == "root":
+            return
+        self.rotate(name, self._align_rotation(self.local_pos(name),
+                                               np.asarray(v, float)))
+
+    def scale_one(self, name: str, scale: float) -> None:
+        """Scale ONLY the bone ending at ``name``; children translate (but
+        do not scale) along (ViconSkeleton.h:61-63; no-op on root)."""
+        if name == "root":
+            return
+        old = self.pos[name].copy()
+        new = self._parent_pos(name) + scale * self.local_pos(name)
+        self.translate(name, new - old)
+
+    def scale(self, name: str, scale: float) -> None:
+        """Scale the bone ending at ``name`` and every bone in its subtree
+        (ViconSkeleton.h:65-67; no-op on root)."""
+        if name == "root":
+            return
+        origin = self._parent_pos(name)
+        for n in self._subtree(name):
+            self.pos[n] = origin + scale * (self.pos[n] - origin)
+
+    def rotate_and_scale(self, name: str, v) -> None:
+        """Rotate + scale the subtree so the bone equals vector ``v``
+        exactly (ViconSkeleton.h:69-74)."""
+        if name == "root":
+            return
+        cur = self.local_pos(name)
+        v = np.asarray(v, float)
+        s = np.linalg.norm(v) / max(np.linalg.norm(cur), 1e-12)
+        R = self._align_rotation(cur, v)
+        origin = self._parent_pos(name)
+        for n in self._subtree(name):
+            self.pos[n] = origin + s * (R @ (self.pos[n] - origin))
+
+    def smpl_joints(self, frame_id: Optional[int] = -1) -> np.ndarray:
         """[24, 3] SMPL-ordered joint positions (NaN where unmapped),
-        suitable for Avatar.align_to_joints (reference getSmplJoints)."""
-        pos = self.joint_positions(frame_id)
+        suitable for Avatar.align_to_joints (reference getSmplJoints).
+        ``frame_id=None`` reads the mutable posed state (joint ops applied);
+        an int recomputes that AMC frame (-1 = rest pose)."""
+        pos = self.pos if frame_id is None else self.joint_positions(frame_id)
         out = np.full((24, 3), np.nan)
         for name, idx in self.SMPL_MAP.items():
             if name in pos or name == "root":

@@ -153,10 +153,13 @@ def _fused_frame_impl(ctx: FitContext, ctx_fit: Optional[FitContext],
     depth_s = xyz_s[..., 2]
 
     if use_bgsub:
-        bg_s = strided_xyz(bg_depth)
-        fg = _bg_subtract(xyz_s, bg_s, nn_t, nb_t, min_cc_pts)
-        depth_s = jnp.where(fg, depth_s, 0.0)
-        xyz_s = jnp.where(fg[..., None], xyz_s, 0.0)
+        # named scopes land in profiler op metadata (tf_op), giving
+        # profiling.trace_attribution exact stage buckets
+        with jax.named_scope("bgsub"):
+            bg_s = strided_xyz(bg_depth)
+            fg = _bg_subtract(xyz_s, bg_s, nn_t, nb_t, min_cc_pts)
+            depth_s = jnp.where(fg, depth_s, 0.0)
+            xyz_s = jnp.where(fg[..., None], xyz_s, 0.0)
     # segmentation on the strided grid
     if use_forest:
         Hs, Ws = depth_s.shape
@@ -222,7 +225,11 @@ def _fused_frame_impl(ctx: FitContext, ctx_fit: Optional[FitContext],
         # and even a tracked window is ~85% background.  A person at stride
         # 3 covers ~2-3k pixels; overflow beyond the bucket drops pixels
         # pseudo-randomly (hash-noise tiebreak).
-        WALK_K = 4096
+        # the walk is probe-gather-bound: cost scales with WALK_K x trees.
+        # A person at stride 3 covers ~2-3k pixels; the tracked window can
+        # use a tighter bucket than the full frame (overflow drops pixels
+        # pseudo-randomly, degrading like slightly sparser sampling).
+        WALK_K = 3072 if seg_window is not None else 4096
         rflat = region.reshape(-1)
         rfg = rflat > 0
         hidx2 = jnp.arange(rflat.shape[0], dtype=jnp.uint32)
@@ -234,13 +241,31 @@ def _fused_frame_impl(ctx: FitContext, ctx_fit: Optional[FitContext],
         z_sel = rflat[sel]
         ys_sel = roy + sel // rw
         xs_sel = rox + sel % rw
-        lab_sel = walk_set(ys_sel, xs_sel, z_sel, fg_sel)
-        pos = jnp.where(fg_sel, ys_sel * Ws + xs_sel, Hs * Ws)
-        labels_s = jnp.full(Hs * Ws + 1, 255, jnp.uint8).at[pos].set(
-            lab_sel, mode="drop")[:-1].reshape(Hs, Ws)
+        with jax.named_scope("forest_walk"):
+            lab_sel = walk_set(ys_sel, xs_sel, z_sel, fg_sel)
+        if seg_window is not None:
+            # WINDOW-LOCAL label image: every downstream consumer (blob
+            # suppression, render-label fusion, data/boost sampling) reads
+            # only inside the tracked window, so none of them should pay
+            # full-grid cost — the blob CC loop + its scatter cluster alone
+            # are ~2.4 ms/frame on the full 720p stride-3 grid vs ~0.7 ms
+            # on the window.  The full-grid image for viz is recreated by
+            # one dynamic_update_slice at the end.
+            Hl, Wl = seg_window
+            pos = jnp.where(fg_sel, sel, Hl * Wl)
+            lab_oy, lab_ox = roy, rox
+        else:
+            Hl, Wl = Hs, Ws
+            pos = jnp.where(fg_sel, ys_sel * Ws + xs_sel, Hs * Ws)
+            lab_oy, lab_ox = 0, 0
+        labels_s = jnp.full(Hl * Wl + 1, 255, jnp.uint8).at[pos].set(
+            lab_sel, mode="drop")[:-1].reshape(Hl, Wl)
+        depth_l = region if seg_window is not None else depth_s
     else:
         labels_s = labels_full[::seg_stride, ::seg_stride]
         labels_s = jnp.where(depth_s > 0, labels_s, jnp.uint8(255))
+        lab_oy, lab_ox = 0, 0
+        depth_l = depth_s
 
     model_com = jnp.full((num_parts, 5), -1.0, depth_s.dtype)
     if use_forest:
@@ -268,19 +293,20 @@ def _fused_frame_impl(ctx: FitContext, ctx_fit: Optional[FitContext],
         # wherever the measured depth agrees within render_tau.  The forest
         # stays authoritative where the model and data disagree, so drift
         # is still corrected by the independent per-frame signal.
-        Hs, Ws = depth_s.shape
+        Hl, Wl = labels_s.shape
         Z_BITS_MAX = float((1 << 17) - 1)
         zq = jnp.clip(x_prev0[:, 2] / 20.0 * float(1 << 17), 1.0,
                       Z_BITS_MAX).astype(jnp.int32)
         key = (zq << 8) | ctx.model_part.astype(jnp.int32)
-        px = jnp.round(proj0[:, 0]).astype(jnp.int32)
-        py = jnp.round(proj0[:, 1]).astype(jnp.int32)
-        ok_v = (px >= 0) & (px < Ws) & (py >= 0) & (py < Hs) & (
+        # splat into the (possibly window-local) label grid
+        px = jnp.round(proj0[:, 0]).astype(jnp.int32) - lab_ox
+        py = jnp.round(proj0[:, 1]).astype(jnp.int32) - lab_oy
+        ok_v = (px >= 0) & (px < Wl) & (py >= 0) & (py < Hl) & (
             x_prev0[:, 2] > 1e-6)
-        flat = jnp.where(ok_v, py * Ws + px, Hs * Ws)
+        flat = jnp.where(ok_v, py * Wl + px, Hl * Wl)
         IMAX = jnp.iinfo(jnp.int32).max
-        zbuf = jnp.full(Hs * Ws + 1, IMAX, jnp.int32).at[flat].min(
-            key, mode="drop")[:-1].reshape(Hs, Ws)
+        zbuf = jnp.full(Hl * Wl + 1, IMAX, jnp.int32).at[flat].min(
+            key, mode="drop")[:-1].reshape(Hl, Wl)
         # 3x3 min-pool: nearest-depth vertex label wins in each nbhd
         zp = jnp.pad(zbuf, 1, constant_values=IMAX)
         pooled = zbuf
@@ -289,35 +315,41 @@ def _fused_frame_impl(ctx: FitContext, ctx_fit: Optional[FitContext],
                 if dy == 1 and dx == 1:
                     continue
                 pooled = jnp.minimum(
-                    pooled, zp[dy:dy + Hs, dx:dx + Ws])
+                    pooled, zp[dy:dy + Hl, dx:dx + Wl])
         hit = pooled != IMAX
         rl = jnp.where(hit, (pooled & 0xFF).astype(jnp.uint8),
                        jnp.uint8(255))
         rd = jnp.where(hit, (pooled >> 8).astype(depth_s.dtype) *
                        (20.0 / float(1 << 17)), 0.0)
-        agree = (depth_s > 0) & hit & (jnp.abs(depth_s - rd) < render_tau)
+        agree = (depth_l > 0) & hit & (jnp.abs(depth_l - rd) < render_tau)
         labels_s = jnp.where(agree, rl, labels_s)
 
     # blob suppression + CoM tracking (contiguous part maps) on a 2x coarser
-    # subgrid (CC cost scales with grid size; part blobs are large)
+    # subgrid (CC cost scales with grid size; part blobs are large).  On the
+    # windowed path labels_s is window-local; the origin argument keeps the
+    # returned CoMs in full-grid pixel coordinates.
     blob_sub = 2
     lab_c = labels_s[::blob_sub, ::blob_sub]
-    filt_c, com_new = suppress_part_nonmax(
-        lab_c, com_pre, num_parts, seg_stride * blob_sub, dist_to_pre_weight,
-        jnp.asarray([0, 0], jnp.int32))
+    with jax.named_scope("blob_suppress"):
+        filt_c, com_new = suppress_part_nonmax(
+            lab_c, com_pre, num_parts, seg_stride * blob_sub,
+            dist_to_pre_weight,
+            jnp.stack([jnp.asarray(lab_ox, jnp.int32) * seg_stride,
+                       jnp.asarray(lab_oy, jnp.int32) * seg_stride]))
     filt_up = jnp.repeat(jnp.repeat(filt_c, blob_sub, 0), blob_sub, 1)[
         : labels_s.shape[0], : labels_s.shape[1]]
     labels_s = jnp.where(filt_up == labels_s, labels_s, jnp.uint8(255))
 
     # stride-sampled data cloud: every data_substride-th strided sample.
     # With a tracked window active, everything outside it is background by
-    # construction — restrict the data grid to the window so the fit's
-    # static bucket (and the NN search) is ~4x smaller.
+    # construction — labels_s is already the window slice, and the XYZ grid
+    # is sliced to match, so the fit's static bucket (and the NN search) is
+    # ~4x smaller.
     if use_forest and seg_window is not None:
         xyz_src = jax.lax.dynamic_slice(
             xyz_s, (oy, ox, jnp.asarray(0, oy.dtype)),
             (seg_window[0], seg_window[1], 3))
-        lab_src = jax.lax.dynamic_slice(labels_s, (oy, ox), seg_window)
+        lab_src = labels_s
     else:
         xyz_src = xyz_s
         lab_src = labels_s
@@ -362,14 +394,16 @@ def _fused_frame_impl(ctx: FitContext, ctx_fit: Optional[FitContext],
         parts = jnp.concatenate(
             [parts, jnp.full((pad_n - N,), -1, jnp.int32)])
 
-    theta, diag = fit(ctx_fit if ctx_fit is not None else ctx, parents,
-                      pts, parts, theta0, beta_pose,
-                      beta_shape, n_steps=n_steps, use_jsr=use_jsr,
-                      num_parts=num_parts, point_weight=point_weight,
-                      plane_weight=plane_weight, huber_k=huber_k,
-                      robust_per_part=robust_per_part, beta_temp=beta_temp,
-                      clamp_angle=clamp_angle, freeze_shape=freeze_shape,
-                      model_sorted=fit_sorted and ctx_fit is not None)
+    with jax.named_scope("fit"):
+        theta, diag = fit(ctx_fit if ctx_fit is not None else ctx, parents,
+                          pts, parts, theta0, beta_pose,
+                          beta_shape, n_steps=n_steps, use_jsr=use_jsr,
+                          num_parts=num_parts, point_weight=point_weight,
+                          plane_weight=plane_weight, huber_k=huber_k,
+                          robust_per_part=robust_per_part,
+                          beta_temp=beta_temp, clamp_angle=clamp_angle,
+                          freeze_shape=freeze_shape,
+                          model_sorted=fit_sorted and ctx_fit is not None)
     host_diag = jnp.concatenate([
         n_points[None].astype(depth_s.dtype),
         diag.cost[None].astype(depth_s.dtype),
@@ -377,8 +411,15 @@ def _fused_frame_impl(ctx: FitContext, ctx_fit: Optional[FitContext],
         diag.part_counts.astype(depth_s.dtype),
         com_new.astype(depth_s.dtype).reshape(-1),
         model_com.astype(depth_s.dtype).reshape(-1)])
+    if use_forest and seg_window is not None:
+        # recreate the full-grid label image for viz/diagnostics (one cheap
+        # window-sized copy; everything outside the window is background)
+        labels_out = jax.lax.dynamic_update_slice(
+            jnp.full((Hs, Ws), 255, jnp.uint8), labels_s, (oy, ox))
+    else:
+        labels_out = labels_s
     return FrameOut(theta=theta, com_pre=com_new,
-                    labels_strided=labels_s, host_diag=host_diag)
+                    labels_strided=labels_out, host_diag=host_diag)
 
 
 fused_frame = functools.partial(jax.jit, static_argnames=(

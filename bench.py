@@ -285,6 +285,32 @@ def main():
         _jn.asarray(_dn).block_until_ready()
     upload_ms = (time.perf_counter() - _t0) / 10 * 1e3
 
+    # device-stage attribution + MFU: capture a short profiler trace of the
+    # fused frame (outside the timed passes), parse the XLA op lanes into
+    # stage buckets (fit / walk / blob_cc / bgsub) and sum executed
+    # model_flops for an MFU estimate vs v5e peak.  Best-effort: trace
+    # capture through the remote tunnel can fail; metrics are omitted then.
+    attribution = None
+    if not args.quick:
+        import shutil
+        import tempfile
+
+        from avatar_tpu.profiling import trace_attribution
+        _tdir = tempfile.mkdtemp(prefix="bench_trace_")
+        try:
+            _AREP = 6
+            with device_trace(_tdir):
+                for _ in range(_AREP):
+                    _o = tracker._run(_xyz, _lab0, _steps)
+                _jx.block_until_ready(_o.host_diag)
+            attribution = trace_attribution(_tdir, _AREP)
+            print(f"[bench] device attribution: {attribution}",
+                  file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 - diagnostics only
+            print(f"[bench] trace attribution failed: {e}", file=sys.stderr)
+        finally:
+            shutil.rmtree(_tdir, ignore_errors=True)
+
     # standalone GN/LM fit latency with device-resident inputs (the
     # BASELINE.md "per-frame fit < 8 ms" target; excludes link transfers)
     import jax as _jax
@@ -401,6 +427,11 @@ def main():
         "platform": jax.devices()[0].platform,
         "labels": "forest" if use_forest else "oracle",
     }
+    if attribution:
+        result["stages_device_ms"] = attribution["stages"]
+        result["device_gflops_per_frame"] = attribution["gflops"]
+        result["mfu"] = attribution["mfu"]
+        result["mfu_fit"] = attribution.get("mfu_fit", 0.0)
     line = json.dumps(result)
     print(line)
     if args.json_out:

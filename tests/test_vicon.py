@@ -104,3 +104,90 @@ def test_smpl_joint_export(skel, tmp_path):
     assert np.isfinite(arr[0]).all()  # root mapped
     # unmapped joints are NaN
     assert np.isnan(arr[4]).any() or np.isfinite(arr).all()
+
+# -- joint-op API (ViconSkeleton.h:36-74 spec; frame nav .cpp:253-310) --------
+
+
+def test_frame_navigation(skel):
+    skel.rest()
+    assert skel.cur_frame == 0
+    np.testing.assert_allclose(skel.pos["lower"], [0, 3, 0], atol=1e-9)
+    assert skel.next_frame()          # -> frame 1 (1-based; AMC frame 0)
+    assert skel.cur_frame == 1
+    np.testing.assert_allclose(skel.pos["lower"], [0, 3, 0], atol=1e-9)
+    assert skel.next_frame()          # -> frame 2 (the posed one)
+    np.testing.assert_allclose(skel.pos["lower"], [-1, 2, 4], atol=1e-7)
+    assert not skel.next_frame()      # past the end without loop
+    assert skel.next_frame(1, loop=True)
+    assert skel.cur_frame == 1
+    assert skel.prev_frame(1, loop=True)
+    assert skel.cur_frame == 2
+
+
+def test_translate_subtree(skel):
+    skel.rest()
+    skel.translate("upper", [1.0, 0.0, 0.0])
+    np.testing.assert_allclose(skel.pos["upper"], [1, 2, 0], atol=1e-9)
+    np.testing.assert_allclose(skel.pos["lower"], [1, 3, 0], atol=1e-9)
+    np.testing.assert_allclose(skel.pos["root"], [0, 0, 0], atol=1e-9)
+
+
+def test_local_pos_and_length(skel):
+    skel.rest()
+    np.testing.assert_allclose(skel.local_pos("lower"), [0, 1, 0],
+                               atol=1e-9)
+    assert skel.bone_length("upper") == pytest.approx(2.0)
+    skel.set_local_pos("lower", [0.0, 2.0, 0.0])
+    np.testing.assert_allclose(skel.pos["lower"], [0, 4, 0], atol=1e-9)
+
+
+def test_rotate_about_parent(skel):
+    skel.rest()
+    # rotate the lower bone 90 deg about z around its parent (upper @ (0,2,0))
+    Rz = np.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+    skel.rotate("lower", Rz)
+    np.testing.assert_allclose(skel.pos["lower"], [-1, 2, 0], atol=1e-9)
+    # root rotation is a no-op
+    before = {k: v.copy() for k, v in skel.pos.items()}
+    skel.rotate("root", Rz)
+    for k in before:
+        np.testing.assert_allclose(skel.pos[k], before[k], atol=1e-12)
+
+
+def test_rotate_to_direction(skel):
+    skel.rest()
+    skel.rotate_to("upper", [1.0, 0.0, 0.0])
+    np.testing.assert_allclose(skel.pos["upper"], [2, 0, 0], atol=1e-9)
+    # subtree carried: lower keeps its local offset, rotated the same way
+    np.testing.assert_allclose(skel.pos["lower"], [3, 0, 0], atol=1e-9)
+    assert skel.bone_length("upper") == pytest.approx(2.0)  # pure rotation
+
+
+def test_scale_one_translates_children(skel):
+    skel.rest()
+    skel.scale_one("upper", 2.0)
+    np.testing.assert_allclose(skel.pos["upper"], [0, 4, 0], atol=1e-9)
+    # child bone NOT scaled, just carried
+    assert skel.bone_length("lower") == pytest.approx(1.0)
+    np.testing.assert_allclose(skel.pos["lower"], [0, 5, 0], atol=1e-9)
+
+
+def test_scale_subtree(skel):
+    skel.rest()
+    skel.scale("upper", 2.0)
+    np.testing.assert_allclose(skel.pos["upper"], [0, 4, 0], atol=1e-9)
+    np.testing.assert_allclose(skel.pos["lower"], [0, 6, 0], atol=1e-9)
+    assert skel.bone_length("lower") == pytest.approx(2.0)
+
+
+def test_rotate_and_scale_exact(skel):
+    skel.rest()
+    skel.rotate_and_scale("lower", [0.5, 0.0, 0.0])
+    np.testing.assert_allclose(skel.local_pos("lower"), [0.5, 0, 0],
+                               atol=1e-9)
+
+
+def test_smpl_joints_from_posed_state(skel):
+    skel.load_frame(2)
+    arr = skel.smpl_joints(None)
+    np.testing.assert_allclose(arr[0], [1, 2, 3], atol=1e-7)
