@@ -52,6 +52,10 @@ class TrackerConfig:
     # fused-tracker extras: forest label confidence gate and a tracked
     # static-size segmentation window (full-res pixels; None = full image)
     label_conf_thresh: float = 0.5
+    # inference-side class rebalancing of forest leaf distributions:
+    # multiply by (class frequency)^-alpha and renormalize, shifting the
+    # argmax toward rare classes (hands/feet) without retraining.  0 = off
+    label_class_balance: float = 0.0
     seg_window: Optional[tuple] = (576, 448)
     enable_occlusion: bool = True
     point_weight: float = 1.0

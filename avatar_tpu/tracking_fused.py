@@ -173,12 +173,14 @@ def _fused_frame_impl(ctx: FitContext, ctx_fit: Optional[FitContext],
 
         from avatar_tpu.perception.rtree import walk_pixels
 
-        def walk_set(pys, pxs, pz, pfg):
-            """Conf-gated best label over an arbitrary pixel set."""
+        def walk_set(pys, pxs, pz, pfg, pflat, pshape, ptl, pbr):
+            """Conf-gated best label over an arbitrary pixel set; probes
+            read ``pflat`` (full grid, or the window slab on the windowed
+            path — a VMEM-sized gather target instead of the whole
+            frame)."""
             if not multi:
                 leaf = walk_pixels(tree_scaled, pys, pxs, pz, pfg,
-                                   depth_s.reshape(-1), (Hs, Ws),
-                                   max_depth, tl, br)
+                                   pflat, pshape, max_depth, ptl, pbr)
                 keep = (leaf >= 0) & (
                     tree.leaf_conf[jnp.maximum(leaf, 0)] >= conf_thresh)
                 return jnp.where(keep,
@@ -189,8 +191,7 @@ def _fused_frame_impl(ctx: FitContext, ctx_fit: Optional[FitContext],
             axes = TreeTensors(*([0] * len(TreeTensors._fields)))
             leafs = jax.vmap(
                 lambda tt: walk_pixels(tt, pys, pxs, pz, pfg,
-                                       depth_s.reshape(-1), (Hs, Ws),
-                                       max_depth, tl, br),
+                                       pflat, pshape, max_depth, ptl, pbr),
                 in_axes=(axes,))(tree_scaled)          # [T, K]
             dist = jax.vmap(lambda lf, ld: jnp.where(
                 (lf >= 0)[..., None], ld[jnp.maximum(lf, 0)], 0.0))(
@@ -242,7 +243,20 @@ def _fused_frame_impl(ctx: FitContext, ctx_fit: Optional[FitContext],
         ys_sel = roy + sel // rw
         xs_sel = rox + sel % rw
         with jax.named_scope("forest_walk"):
-            lab_sel = walk_set(ys_sel, xs_sel, z_sel, fg_sel)
+            if seg_window is not None:
+                # probes read the window slab (window-local coordinates).
+                # Out-of-window probes return BACKGROUND_DEPTH — exact
+                # whenever the tracked foreground lies inside the window
+                # (the windowed-path assumption); bgsub already zeroed
+                # non-foreground depth, which probe() maps to BACKGROUND
+                # anyway, so only stray out-of-window foreground differs.
+                wtl = jnp.asarray([0, 0], jnp.int32)
+                wbr = jnp.asarray([rw - 1, region.shape[0] - 1], jnp.int32)
+                lab_sel = walk_set(sel // rw, sel % rw, z_sel, fg_sel,
+                                   rflat, (region.shape[0], rw), wtl, wbr)
+            else:
+                lab_sel = walk_set(ys_sel, xs_sel, z_sel, fg_sel,
+                                   depth_s.reshape(-1), (Hs, Ws), tl, br)
         if seg_window is not None:
             # WINDOW-LOCAL label image: every downstream consumer (blob
             # suppression, render-label fusion, data/boost sampling) reads
@@ -494,6 +508,33 @@ def _group_tree(t: TreeTensors, lut: np.ndarray, ng: int) -> TreeTensors:
         leaf_conf=jnp.asarray(gld.max(1).astype(np.float32)))
 
 
+def _reweight_tree(t: TreeTensors, alpha: float) -> TreeTensors:
+    """Inference-side class rebalancing: scale leaf distributions by
+    inverse class frequency^alpha and renormalize.
+
+    Rare classes (hands, feet — a few hundred pixels vs the torso's tens
+    of thousands) lose the leaf argmax to their large neighbors even when
+    the leaf clearly separates them.  Reweighting at inference shifts the
+    decision boundary toward rare classes WITHOUT retraining, and unlike
+    training-time balanced sampling (which moves the learned split
+    structure itself) it is continuously tunable and reversible.  The
+    class prior is estimated from the forest's own leaves (mean leaf
+    distribution — a proxy for the training pixel distribution)."""
+    ld = np.asarray(t.leaf_data)
+    if ld.size == 0 or alpha <= 0:
+        return t
+    freq = ld.mean(axis=0)
+    freq = freq / max(freq.sum(), 1e-12)
+    w = np.power(np.maximum(freq, 1e-6), -alpha)
+    g = ld * w
+    g = g / np.maximum(g.sum(axis=1, keepdims=True), 1e-12)
+    g = g.astype(np.float32)
+    return t._replace(
+        leaf_data=jnp.asarray(g),
+        leaf_best=jnp.asarray(g.argmax(axis=1).astype(np.uint8)),
+        leaf_conf=jnp.asarray(g.max(axis=1)))
+
+
 def _stack_trees(trees, stride: int) -> TreeTensors:
     """Stack per-tree tensors into [T, ...] arrays (node/leaf axes padded
     to the largest tree; padding nodes self-loop and padding leaves carry
@@ -651,6 +692,7 @@ class FusedTracker:
                             np.zeros((1, num_parts))]), model.dtype)
         self.reinit = True
         self.first_init = True
+        self.limb_recoveries: dict = {}   # group id -> recovery event count
         self._theta = Theta(
             p=jnp.zeros(3, model.dtype),
             rots=jnp.asarray(np.tile(np.eye(3), (model.num_joints(), 1, 1)),
@@ -681,6 +723,8 @@ class FusedTracker:
                     f"tree with {rt.num_parts} parts fits neither the "
                     f"source ({len(self._glut)}) nor group "
                     f"({self.num_parts}) label space")
+            if c.label_class_balance > 0:
+                t = _reweight_tree(t, c.label_class_balance)
             trees_t.append(t)
         if len(trees_t) > 1:
             self._tree = _stack_trees(trees_t, ss)
@@ -1259,6 +1303,8 @@ class FusedTracker:
             rots[root] = C.T @ A @ C @ rots[root]
             starve[g] = 0
             changed = True
+            # observability: per-group recovery event counter (SURVEY §5.5)
+            self.limb_recoveries[g] = self.limb_recoveries.get(g, 0) + 1
         if changed:
             self._theta = Theta(
                 p=self._theta.p,

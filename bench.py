@@ -271,15 +271,31 @@ def main():
     _xyz = _jn.asarray(_dn)
     _lab0 = _jn.zeros(tracker._proc_size, _jn.uint8)
     _steps = cfg.frame_icp_iters * cfg.iters_per_icp
-    _o = tracker._run(_xyz, _lab0, _steps)
-    _jx.block_until_ready(_o.host_diag)
-    _t0 = time.perf_counter()
-    _NREP = 20
-    for _ in range(_NREP):
+    if use_batch:
+        # measure the dispatch mode the throughput pass actually uses:
+        # BATCH frames per device call (lax.scan over the fused frame)
+        # amortizes the per-dispatch overhead that dominates single-frame
+        # timing through a remote tunnel (~1 ms/dispatch floor here)
+        _xyz_b = _jn.stack([_xyz] * BATCH)
+        _lab_b = _jn.stack([_lab0] * BATCH)
+        _, _dg, _thf, _ = tracker._run_batch(_xyz_b, _lab_b, _steps)
+        _jx.block_until_ready(_dg)
+        _t0 = time.perf_counter()
+        _NREP = 4
+        for _ in range(_NREP):
+            _, _dg, _thf, _ = tracker._run_batch(_xyz_b, _lab_b, _steps)
+        _jx.block_until_ready(_dg)
+        device_ms = (time.perf_counter() - _t0) / (_NREP * BATCH) * 1e3
+    else:
         _o = tracker._run(_xyz, _lab0, _steps)
-        tracker._theta = _o.theta
-    _jx.block_until_ready(_o.host_diag)
-    device_ms = (time.perf_counter() - _t0) / _NREP * 1e3
+        _jx.block_until_ready(_o.host_diag)
+        _t0 = time.perf_counter()
+        _NREP = 20
+        for _ in range(_NREP):
+            _o = tracker._run(_xyz, _lab0, _steps)
+            tracker._theta = _o.theta
+        _jx.block_until_ready(_o.host_diag)
+        device_ms = (time.perf_counter() - _t0) / _NREP * 1e3
     _t0 = time.perf_counter()
     for _ in range(10):
         _jn.asarray(_dn).block_until_ready()
@@ -334,15 +350,25 @@ def main():
     _pts = _pts.at[:_ns].set(_jnp.asarray(
         _ava.cloud[_idx] + _rng0.normal(0, 0.002, (_ns, 3)), _jnp.float32))
     _th = tracker._theta
-    _out = _fit(tracker._ctx, model.parents, _pts, _parts, _th,
+    # measure the fit exactly as the steady-state tracker dispatches it:
+    # part-sorted fit context, frozen shape keys, sorted-model NN kernel
+    _ctxf = tracker._ctx_fit if tracker._ctx_fit is not None else tracker._ctx
+    _fit_kw = dict(n_steps=12, freeze_shape=True,
+                   model_sorted=tracker._fit_sorted,
+                   num_parts=tracker.num_parts,
+                   plane_weight=cfg.plane_weight,
+                   point_weight=cfg.point_weight, huber_k=cfg.huber_k,
+                   robust_per_part=cfg.robust_per_part,
+                   beta_temp=cfg.beta_temp)
+    _out = _fit(_ctxf, model.parents, _pts, _parts, _th,
                 _jnp.asarray(0.05, _jnp.float32),
-                _jnp.asarray(0.12, _jnp.float32), n_steps=12)
+                _jnp.asarray(0.12, _jnp.float32), **_fit_kw)
     _jax.block_until_ready(_out)
     _t0 = time.perf_counter()
     for _ in range(10):
-        _out = _fit(tracker._ctx, model.parents, _pts, _parts, _th,
+        _out = _fit(_ctxf, model.parents, _pts, _parts, _th,
                     _jnp.asarray(0.05, _jnp.float32),
-                    _jnp.asarray(0.12, _jnp.float32), n_steps=12)
+                    _jnp.asarray(0.12, _jnp.float32), **_fit_kw)
     _jax.block_until_ready(_out)
     fit_device_ms = (time.perf_counter() - _t0) / 10 * 1e3
 
