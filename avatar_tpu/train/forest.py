@@ -483,11 +483,16 @@ class ForestTrainer:
                 ys.append(by[: len(ids)])
                 ps.append(bp[: len(ids)])
                 vs.append(bv[: len(ids)])
-                cache.append(depth[: len(ids)])
+                # cache as uint16 millimeters: camera-native precision
+                # (1 mm, below sensor noise) at half the HBM of f32 —
+                # the cache is the training-scale memory ceiling
+                cache.append(jnp.round(
+                    depth[: len(ids)] * 1000.0).astype(jnp.uint16))
             else:
                 depth_np = np.asarray(depth)
                 mask_np = np.asarray(mask)
-                cache.append(depth_np[: len(ids)])
+                cache.append(np.round(
+                    depth_np[: len(ids)] * 1000.0).astype(np.uint16))
                 for k in range(len(ids)):
                     x, y, p, v = _sample_pixels(
                         depth_np[k], mask_np[k], self.S, self._rng,
@@ -607,8 +612,18 @@ class ForestTrainer:
             ids = np.arange(start, min(start + self.B, self.num_images))
             ids_pad = np.pad(ids, (0, self.B - len(ids)), mode="edge")
             depth, _ = self._render_batch(ids_pad)
-            caches.append(np.asarray(depth)[: len(ids)])
+            caches.append(np.round(
+                np.asarray(depth)[: len(ids)] * 1000.0).astype(np.uint16))
         self._set_depth_cache(np.concatenate(caches, axis=0))
+
+    def _cache_slab(self, sl) -> jnp.ndarray:
+        """Device f32-meter view of a cached frame slab (decodes the
+        uint16-mm cache; uploads host-resident slabs)."""
+        slab = self._depth_cache[sl]
+        slab = jnp.asarray(slab)
+        if slab.dtype == jnp.uint16:
+            slab = slab.astype(jnp.float32) * 1e-3
+        return slab
 
     def _train_level(self):
         frontier = self.frontier
@@ -654,7 +669,7 @@ class ForestTrainer:
             for start in batch_starts:
                 sl = slice(start, min(start + self.B, self.num_images))
                 mn, mx = pass_minmax(
-                    self._depth_cache[sl],
+                    self._cache_slab(sl),
                     self.samples.x[sl], self.samples.y[sl],
                     self.samples.valid[sl], node_local[sl],
                     fu_b, fv_b, NC)
@@ -664,7 +679,7 @@ class ForestTrainer:
             for start in batch_starts:
                 sl = slice(start, min(start + self.B, self.num_images))
                 counts = counts + pass_counts(
-                    self._depth_cache[sl],
+                    self._cache_slab(sl),
                     self.samples.x[sl], self.samples.y[sl],
                     self.samples.part[sl], self.samples.valid[sl],
                     node_local[sl], fu_b, fv_b,
@@ -711,7 +726,7 @@ class ForestTrainer:
         for start in range(0, self.num_images, self.B):
             sl = slice(start, min(start + self.B, self.num_images))
             mn, mx = pass_minmax(
-                self._depth_cache[sl],
+                self._cache_slab(sl),
                 self.samples.x[sl], self.samples.y[sl],
                 self.samples.valid[sl], node_local[sl],
                 fu_j, fv_j, NC)
@@ -722,7 +737,7 @@ class ForestTrainer:
         for start in range(0, self.num_images, self.B):
             sl = slice(start, min(start + self.B, self.num_images))
             counts_j = counts_j + pass_counts(
-                self._depth_cache[sl],
+                self._cache_slab(sl),
                 self.samples.x[sl], self.samples.y[sl],
                 self.samples.part[sl], self.samples.valid[sl],
                 node_local[sl], fu_j, fv_j,
@@ -779,7 +794,7 @@ class ForestTrainer:
             sl = slice(start, min(start + self.B, self.num_images))
             node = jnp.asarray(np.maximum(self.node_of[sl], 0))
             new_node = pass_assign(
-                jnp.asarray(self._depth_cache[sl]),
+                self._cache_slab(sl),
                 self.samples.x[sl], self.samples.y[sl],
                 self.samples.valid[sl], node,
                 jnp.asarray(bu), jnp.asarray(bv), jnp.asarray(bt),

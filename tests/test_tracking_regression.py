@@ -1,0 +1,81 @@
+"""Tracking-accuracy regression gates (VERDICT r2 item 6).
+
+Runs the fused tracker over the quick benchmark configuration (the same
+synthetic ground-truth sequence bench.py --quick uses) with oracle labels
+and asserts joint-error / vertex-RMSE ceilings, so an accuracy regression
+in the fit, correspondence, or tracking state machine fails CI loudly
+instead of only drifting the bench numbers.  Reference anchor: the
+optim.cpp round-trip idea (optim.cpp:18-156) extended to a sequence.
+
+Measured baseline at this configuration (CPU f32): joint_err ~13.5 mm,
+vertex_rmse ~21.6 mm.  Ceilings are ~1.8x to absorb platform noise while
+still catching the 2x+ regressions that matter.
+"""
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.slow
+def test_quick_sequence_joint_error_ceiling():
+    import jax.numpy as jnp
+
+    from avatar_tpu.core import rotation
+    from avatar_tpu.core.lbs import lbs
+    from avatar_tpu.core.model import Avatar
+    from avatar_tpu.io.calibration import CameraIntrin
+    from avatar_tpu.render.renderer import AvatarRenderer
+    from avatar_tpu.testing import synthetic_model
+    from avatar_tpu.tracking import TrackerConfig
+    from avatar_tpu.tracking_fused import FusedTracker
+
+    H, W = 256, 256
+    intrin = CameraIntrin(fx=220.0, fy=220.0, cx=128.0, cy=128.0)
+    model = synthetic_model(detail=2)
+    bg = np.full((H, W), 4.0, np.float32)
+
+    # bench.py --quick ground-truth sequence (bench.py:86-127)
+    gt = Avatar(model)
+    gt.randomize(seed=77)
+    gt.w *= 0.3
+    gt.p = np.array([0.0, 0.1, 2.6])
+    gt.r[0] = np.diag([-1.0, 1.0, -1.0])
+    rng = np.random.default_rng(8)
+    amp = rng.normal(0, 0.10, (24, 3))
+    freq = rng.uniform(0.15, 0.5, (24, 3))
+    phase = rng.uniform(0, 2 * np.pi, (24, 3))
+    base_r, base_p = gt.r.copy(), gt.p.copy()
+
+    cfg = TrackerConfig(data_interval=4, min_points=200, frame_icp_iters=3,
+                        reinit_icp_iters=6, initial_icp_iters=7,
+                        iters_per_icp=4, rtree_interval=2)
+    tracker = FusedTracker(model, intrin, (H, W), config=cfg)
+    tracker.set_background(bg)
+
+    errs, vrms = [], []
+    for t in range(8):
+        gt.update()
+        rend = AvatarRenderer(gt, intrin)
+        d = np.asarray(rend.render_depth((H, W)))
+        frame = (np.where(d > 0, d, bg) * 1000).astype(np.uint16)
+        mask = np.asarray(rend.render_part_mask((H, W)))
+        res = tracker.track(frame, labels_override=mask)
+        assert res.ok
+        th = tracker._theta
+        verts, joints, _, _ = lbs(model.params, model.parents, th.w, th.p,
+                                  th.rots)
+        errs.append(np.linalg.norm(np.asarray(joints) - gt.joint_pos,
+                                   axis=1).mean())
+        vrms.append(np.sqrt(np.mean(np.sum(
+            (np.asarray(verts) - gt.cloud) ** 2, axis=1))))
+        wig = amp * np.sin(freq * (t + 1) + phase)
+        step = np.asarray(rotation.so3_exp(jnp.asarray(wig, jnp.float32)))
+        gt.r = np.einsum("jab,jbc->jac", step, base_r)
+        gt.p = base_p + np.array([0.25 * np.sin(0.2 * (t + 1)), 0.0,
+                                  0.15 * np.sin(0.13 * (t + 1))])
+
+    joint_err_mm = float(np.mean(errs[1:]) * 1e3)
+    vertex_rmse_mm = float(np.mean(vrms[1:]) * 1e3)
+    assert joint_err_mm < 25.0, f"joint error regressed: {joint_err_mm:.1f}mm"
+    assert vertex_rmse_mm < 40.0, \
+        f"vertex RMSE regressed: {vertex_rmse_mm:.1f}mm"
