@@ -607,14 +607,29 @@ class ForestTrainer:
             self._depth_cache = cache_np
 
     def _rebuild_depth_cache(self):
+        on_device = self.frame_source is None
         caches = []
         for start in range(0, self.num_images, self.B):
             ids = np.arange(start, min(start + self.B, self.num_images))
             ids_pad = np.pad(ids, (0, self.B - len(ids)), mode="edge")
             depth, _ = self._render_batch(ids_pad)
-            caches.append(np.round(
-                np.asarray(depth)[: len(ids)] * 1000.0).astype(np.uint16))
-        self._set_depth_cache(np.concatenate(caches, axis=0))
+            if on_device:
+                # keep the slab on device: a f32 [B,H,W] download + uint16
+                # re-upload per batch is ~2 GB of needless link traffic at
+                # 512 imgs (catastrophic over the remote tunnel)
+                caches.append(jnp.round(
+                    depth[: len(ids)] * 1000.0).astype(jnp.uint16))
+            else:
+                caches.append(np.round(
+                    np.asarray(depth)[: len(ids)] * 1000.0)
+                    .astype(np.uint16))
+            if self.verbose and (start // self.B) % 8 == 0:
+                print(f"[forest] re-rendered {start + len(ids)}"
+                      f"/{self.num_images} images (resume)")
+        if on_device:
+            self._depth_cache = jnp.concatenate(caches, axis=0)
+        else:
+            self._set_depth_cache(np.concatenate(caches, axis=0))
 
     def _cache_slab(self, sl) -> jnp.ndarray:
         """Device f32-meter view of a cached frame slab (decodes the
@@ -701,11 +716,17 @@ class ForestTrainer:
         node_local_np[self.node_of < 0] = -1
 
         # per-level random feature pool (V3 samples per node; a shared pool
-        # per chunk is the tensor-friendly equivalent)
-        fu_pool = self._rng.uniform(-self.max_probe, self.max_probe,
-                                    (F, 2)).astype(np.float32)
-        fv_pool = self._rng.uniform(-self.max_probe, self.max_probe,
-                                    (F, 2)).astype(np.float32)
+        # per chunk is the tensor-friendly equivalent).  Keyed on
+        # (seed, level, chunk) rather than drawn from stateful RNG so a
+        # checkpoint-resumed run proposes the same features as an
+        # uninterrupted one (the reference's xorKey-seeded resume is
+        # deterministic the same way, RTree.cpp:2649-2702)
+        frng = np.random.default_rng(
+            (self.seed, self.level, int(chunk[0])))
+        fu_pool = frng.uniform(-self.max_probe, self.max_probe,
+                               (F, 2)).astype(np.float32)
+        fv_pool = frng.uniform(-self.max_probe, self.max_probe,
+                               (F, 2)).astype(np.float32)
 
         if self.F_filtered:
             # --- TrainerV2 filter stage: sparse info-gain over the pool,

@@ -100,6 +100,39 @@ def test_checkpoint_resume(model, tmp_path):
                                atol=1e-6)
 
 
+def test_checkpoint_resume_mid_training(model, tmp_path):
+    """A run interrupted mid-training and resumed must produce the SAME
+    forest as an uninterrupted run (feature pools are keyed on
+    (seed, level, chunk), not stateful RNG; the reference's xorKey-seeded
+    resume is deterministic the same way, RTree.cpp:2649-2702)."""
+    from avatar_tpu.train.forest import _TreeBuilder
+
+    ckpt = str(tmp_path / "mid.ckpt")
+    kwargs = dict(num_parts=24, num_images=24, num_points_per_image=200,
+                  num_features=24, max_probe_offset=60.0, min_samples=24,
+                  max_tree_depth=6, image_batch=8, seed=5)
+    t1 = ForestTrainer(model, INTRIN, (H, W), **kwargs)
+    fd_full = t1.train()
+    # interrupt after two levels, checkpoint, resume in a fresh trainer
+    t2 = ForestTrainer(model, INTRIN, (H, W), checkpoint_path=ckpt, **kwargs)
+    t2._init_samples()
+    t2.tree = _TreeBuilder(24)
+    t2.frontier = [t2.tree.add_node()]
+    t2.frontier_depth = [t2.max_depth]
+    t2.level = 0
+    for _ in range(2):
+        t2._train_level()
+        t2.level += 1
+    t2.save_checkpoint()
+    t3 = ForestTrainer(model, INTRIN, (H, W), **kwargs)
+    fd_res = t3.train(resume_from=ckpt)
+    np.testing.assert_array_equal(fd_res.leafid, fd_full.leafid)
+    np.testing.assert_array_equal(fd_res.lnode, fd_full.lnode)
+    np.testing.assert_allclose(fd_res.thresh, fd_full.thresh, atol=1e-6)
+    np.testing.assert_allclose(fd_res.leaf_data, fd_full.leaf_data,
+                               atol=1e-6)
+
+
 def test_train_from_files(model, tmp_path):
     """File-dataset training (reference FileDataSource path): write rendered
     frames to disk, train from the directories, check the tree segments."""
