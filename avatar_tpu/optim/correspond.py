@@ -115,9 +115,17 @@ def make_nn_plan(data_pts: jnp.ndarray, data_part: jnp.ndarray,
     p_hi = dps[:, -1]
     p_hic = jnp.clip(p_hi, 0, num_parts - 1)
     empty = p_hi < 0  # tile is all padding
-    cstart = jnp.where(empty, 0, off[p_lo] // chunk).astype(jnp.int32)
+    # tiles containing WILDCARD points (label == num_parts, sorted last)
+    # must scan the whole real model axis — wildcards match any part
+    has_wild = p_hi >= num_parts
+    n_real_chunks = (P + chunk - 1) // chunk
+    cstart = jnp.where(empty, 0,
+                       jnp.where(has_wild, 0, off[p_lo] // chunk)).astype(
+        jnp.int32)
     cend = jnp.where(empty, 0,
-                     (off[p_hic + 1] + chunk - 1) // chunk).astype(jnp.int32)
+                     jnp.where(has_wild, n_real_chunks,
+                               (off[p_hic + 1] + chunk - 1) // chunk)).astype(
+        jnp.int32)
     return NNPlan(dpts=dpts, dpart=dpart, mperm=mperm, mpart_s=mpart_s,
                   cstart=cstart, cend=cend, tile_n=tile_n, chunk=chunk)
 
@@ -125,13 +133,19 @@ def make_nn_plan(data_pts: jnp.ndarray, data_part: jnp.ndarray,
 def find_nn_stats_planned(plan: NNPlan, model_cloud: jnp.ndarray,
                           visible: jnp.ndarray,
                           with_stats: bool = False,
-                          interpret: bool = False) -> CorrStats:
+                          interpret: bool = False,
+                          wild: int = -1000,
+                          wild_gate2=None) -> CorrStats:
     """find_nn_stats over a prebuilt NNPlan (data already sorted by part).
 
     Statistics come back in ORIGINAL model indexing; ``corr`` is aligned
     with the plan's sorted data order.  The fit loop re-derives
     robust-weighted statistics from ``corr`` itself, so the plain scatter
     here is skipped unless ``with_stats``.
+
+    ``wild``: data label treated as a wildcard (matches any model part);
+    ``wild_gate2``: squared distance cap for wildcard matches — label-free
+    correspondences far from the model are noise, not support.
     """
     P = model_cloud.shape[0]
     dtype = model_cloud.dtype
@@ -153,9 +167,11 @@ def find_nn_stats_planned(plan: NNPlan, model_cloud: jnp.ndarray,
     best_d, best_i = nn_argmin_ranges(
         dpts_c, plan.dpart, xs, plan.mpart_s, vis_s,
         plan.cstart, plan.cend, tile_n=plan.tile_n, chunk=plan.chunk,
-        interpret=interpret)
+        interpret=interpret, wild=wild)
 
     matched = (best_i >= 0) & (plan.dpart >= 0)
+    if wild_gate2 is not None:
+        matched = matched & ((plan.dpart != wild) | (best_d <= wild_gate2))
     if plan.mperm is None:
         corr = jnp.where(matched, best_i, -1)
     else:
@@ -193,10 +209,11 @@ def backface_visibility(cloud: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
     return vis
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
+@functools.partial(jax.jit, static_argnames=("chunk", "wild"))
 def find_nn_stats(data_pts: jnp.ndarray, data_part: jnp.ndarray,
                   model_cloud: jnp.ndarray, model_part: jnp.ndarray,
-                  visible: jnp.ndarray, chunk: int = 512) -> CorrStats:
+                  visible: jnp.ndarray, chunk: int = 512,
+                  wild: int = -1000, wild_gate2=None) -> CorrStats:
     """Match every valid data point to its nearest visible same-part model
     point; reduce to per-model-point sufficient statistics.
 
@@ -240,7 +257,7 @@ def find_nn_stats(data_pts: jnp.ndarray, data_part: jnp.ndarray,
 
         best_d, best_i = nn_argmin(
             data_pts_c, data_part, model_cloud, model_part, visible,
-            tile_n=256, chunk=1024)
+            tile_n=256, chunk=1024, wild=wild)
     else:
         n_chunks = Pp // chunk
         mc = model_cloud.reshape(n_chunks, chunk, 3)
@@ -258,7 +275,9 @@ def find_nn_stats(data_pts: jnp.ndarray, data_part: jnp.ndarray,
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
             d2 = d_norm2c[:, None] - 2.0 * cross + xn2[None, :]
-            valid = (xp[None, :] == data_part[:, None]) & xv[None, :]
+            valid = ((xp[None, :] == data_part[:, None]) |
+                     ((data_part[:, None] == wild) & (xp[None, :] >= 0))
+                     ) & xv[None, :]
             d2 = jnp.where(valid, d2, _INF)
             cmin = jnp.min(d2, axis=1)
             carg = jnp.argmin(d2, axis=1).astype(jnp.int32) + base
@@ -273,6 +292,8 @@ def find_nn_stats(data_pts: jnp.ndarray, data_part: jnp.ndarray,
             body, init, (mc, mp, mv, m_norm2, bases))
 
     matched = (best_i >= 0) & (data_part >= 0)
+    if wild_gate2 is not None:
+        matched = matched & ((data_part != wild) | (best_d <= wild_gate2))
     corr = jnp.where(matched, best_i, -1)
     wgt = matched.astype(dtype)
 

@@ -266,7 +266,9 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
         clamp_angle: jnp.ndarray | float = 0.0,
         clamp_support: jnp.ndarray | float = 10.0,
         freeze_shape: bool = False,
-        model_sorted: bool = False) -> Tuple[Theta, FitDiag]:
+        model_sorted: bool = False,
+        wild_gate: jnp.ndarray | float = 0.15,
+        wild_weight: jnp.ndarray | float = 1.0) -> Tuple[Theta, FitDiag]:
     """Full avatar fit (the reference's AvatarOptimizer::optimize) as one
     jitted program.
 
@@ -282,7 +284,11 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
     are both tiny.
 
     data_pts [N,3] / data_part [N] are padded; padding marked by
-    data_part < 0.
+    data_part < 0.  Points labeled ``num_parts`` are WILDCARDS: they match
+    the nearest visible model vertex of ANY part, gated at ``wild_gate``
+    meters and weighted by ``wild_weight`` — the label-free support channel
+    for foreground whose forest labels were confidence-gated away (hands
+    and feet; see TrackerConfig.wild_n).
     """
     dtype = data_pts.dtype
     P = ctx.lbs.weights.shape[0]
@@ -348,11 +354,16 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
     # scatter-add costs ~1.6 ms/step on v5e; as a [N, NP]^T x [N, 2] matmul
     # it rides the MXU for ~0.05 ms.  Invalid/padding rows are all-zero.
     # (Built after the plan so rows align with the sorted data order.)
+    NP_w = num_parts or len(parents)   # wildcard label id
+    w_wild = jnp.asarray(wild_weight, dtype)
+    wild_gate2 = jnp.asarray(wild_gate, dtype) ** 2
     if robust and robust_per_part:
         NP_r = num_parts or len(parents)
-        part_oh = (jax.nn.one_hot(jnp.clip(data_part, 0, NP_r - 1), NP_r,
+        # one extra column: wildcards get their own robust-scale bucket
+        # instead of polluting the last real part's
+        part_oh = (jax.nn.one_hot(jnp.clip(data_part, 0, NP_r), NP_r + 1,
                                   dtype=dtype)
-                   * (data_part >= 0).astype(dtype)[:, None])     # [N, NP]
+                   * (data_part >= 0).astype(dtype)[:, None])   # [N, NP+1]
 
     def step(state):
         theta, fwd, lam, it, accepted, small_cnt, _, _, corr_prev = state
@@ -366,10 +377,12 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
         if ctx.cand_mask is not None:
             vis = vis & ctx.cand_mask
         if use_plan:
-            st = correspond.find_nn_stats_planned(plan, x, vis)
+            st = correspond.find_nn_stats_planned(
+                plan, x, vis, wild=NP_w, wild_gate2=wild_gate2)
         else:
             st = correspond.find_nn_stats(
-                data_pts, data_part, x, ctx.model_part, vis, chunk=chunk)
+                data_pts, data_part, x, ctx.model_part, vis, chunk=chunk,
+                wild=NP_w, wild_gate2=wild_gate2)
         valid = st.corr >= 0
         cidx = jnp.maximum(st.corr, 0)
 
@@ -398,6 +411,9 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
             wgt = jnp.where(valid, jnp.minimum(1.0, delta_h / dist), 0.0)
         else:
             wgt = valid.astype(dtype)
+        # label-free wildcard matches carry reduced weight: they are
+        # support, not evidence of part identity
+        wgt = wgt * jnp.where(data_part == NP_w, w_wild, 1.0)
 
         # weighted sufficient statistics (one fused scatter for cnt and s)
         idx = jnp.where(valid, cidx, P)
@@ -514,7 +530,10 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
      corr_final) = jax.lax.while_loop(cond, step, init)
     NP = num_parts or len(parents)
     matched_f = corr_final >= 0
-    pidx = jnp.where(matched_f, jnp.clip(data_part, 0, NP - 1), NP)
+    # wildcard matches (label == NP) are excluded: the starvation
+    # diagnostics must keep seeing which LABELED groups found support
+    pidx = jnp.where(matched_f & (data_part < NP),
+                     jnp.clip(data_part, 0, NP - 1), NP)
     part_counts = jnp.zeros(NP + 1, jnp.int32).at[pidx].add(1)[:NP]
 
     # Per-joint motion clamp: joints whose subtree matched almost no data

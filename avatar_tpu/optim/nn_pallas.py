@@ -26,7 +26,7 @@ _BIG_IDX = 2 ** 30  # captured inside a pallas kernel
 
 
 def _kernel(dpts_ref, dpart_ref, mpts_ref, mpart_ref, mvalid_ref,
-            best_d_ref, best_i_ref, *, chunk: int):
+            best_d_ref, best_i_ref, *, chunk: int, wild: int = -1000):
     """Grid over data tiles; the full model lives in VMEM.
 
     dpts_ref  [TN, 3]   data tile positions
@@ -54,7 +54,10 @@ def _kernel(dpts_ref, dpart_ref, mpts_ref, mpart_ref, mvalid_ref,
         mp = mpart_ref[0:1, pl.ds(c * chunk, chunk)]
         mv = mvalid_ref[0:1, pl.ds(c * chunk, chunk)]
         d2 = ((dx - mx) ** 2 + (dy - my) ** 2 + (dz - mz) ** 2)  # [TN, chunk]
-        ok = (dpart == mp) & (mv > 0)
+        # wildcard rows (dpart == wild) match ANY real-part column: the
+        # label-free correspondence channel for confidence-gated foreground
+        # (pad columns carry part >= _BIG_IDX and are excluded)
+        ok = ((dpart == mp) | ((dpart == wild) & (mp < _BIG_IDX))) & (mv > 0)
         d2 = jnp.where(ok, d2, _INF)
         cmin = jnp.min(d2, axis=1, keepdims=True)                # [TN, 1]
         idx = jax.lax.broadcasted_iota(jnp.int32, (TN, chunk), 1) + c * chunk
@@ -74,7 +77,7 @@ def _kernel(dpts_ref, dpart_ref, mpts_ref, mpart_ref, mvalid_ref,
 
 def _kernel_ranges(cstart_ref, cend_ref, dpts_ref, dpart_ref, mpts_ref,
                    mpart_ref, mvalid_ref, best_d_ref, best_i_ref, *,
-                   chunk: int):
+                   chunk: int, wild: int = -1000):
     """Like _kernel, but each data tile scans only the model chunks
     [cstart[i], cend[i]) covering its part labels (both clouds sorted by
     part on the host side) — at 24 parts this cuts the scanned columns
@@ -97,7 +100,7 @@ def _kernel_ranges(cstart_ref, cend_ref, dpts_ref, dpart_ref, mpts_ref,
         mp = mpart_ref[0:1, pl.ds(c * chunk, chunk)]
         mv = mvalid_ref[0:1, pl.ds(c * chunk, chunk)]
         d2 = ((dx - mx) ** 2 + (dy - my) ** 2 + (dz - mz) ** 2)
-        ok = (dpart == mp) & (mv > 0)
+        ok = ((dpart == mp) | ((dpart == wild) & (mp < _BIG_IDX))) & (mv > 0)
         d2 = jnp.where(ok, d2, _INF)
         cmin = jnp.min(d2, axis=1, keepdims=True)
         idx = jax.lax.broadcasted_iota(jnp.int32, (TN, chunk), 1) + c * chunk
@@ -115,10 +118,11 @@ def _kernel_ranges(cstart_ref, cend_ref, dpts_ref, dpart_ref, mpts_ref,
     best_i_ref[:, :] = best_i
 
 
-@functools.partial(jax.jit, static_argnames=("tile_n", "chunk", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tile_n", "chunk", "interpret",
+                                              "wild"))
 def nn_argmin_ranges(data_pts, data_part, model_pts, model_part, model_valid,
                      cstart, cend, tile_n: int = 256, chunk: int = 512,
-                     interpret: bool = False):
+                     interpret: bool = False, wild: int = -1000):
     """Part-sorted masked NN: data_pts/data_part sorted by part label,
     model_* sorted by part label; cstart/cend [N/tile_n] give the model
     chunk range covering each data tile's labels (int32, scalar-prefetched).
@@ -150,7 +154,7 @@ def nn_argmin_ranges(data_pts, data_part, model_pts, model_part, model_valid,
         ),
     )
     out_d, out_i = pl.pallas_call(
-        functools.partial(_kernel_ranges, chunk=chunk),
+        functools.partial(_kernel_ranges, chunk=chunk, wild=wild),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((N, 1), jnp.float32),
@@ -162,9 +166,9 @@ def nn_argmin_ranges(data_pts, data_part, model_pts, model_part, model_valid,
     return out_d[:, 0], out_i[:, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("tile_n", "chunk"))
+@functools.partial(jax.jit, static_argnames=("tile_n", "chunk", "wild"))
 def nn_argmin(data_pts, data_part, model_pts, model_part, model_valid,
-              tile_n: int = 256, chunk: int = 1024):
+              tile_n: int = 256, chunk: int = 1024, wild: int = -1000):
     """(best_d [N], best_i [N]) masked nearest model point per data point.
 
     Shapes: data_pts [N, 3] (N multiple of tile_n), model_pts [Pp, 3]
@@ -174,7 +178,7 @@ def nn_argmin(data_pts, data_part, model_pts, model_part, model_valid,
     Pp = model_pts.shape[0]
     grid = (N // tile_n,)
     out_d, out_i = pl.pallas_call(
-        functools.partial(_kernel, chunk=chunk),
+        functools.partial(_kernel, chunk=chunk, wild=wild),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_n, 3), lambda i: (i, 0),

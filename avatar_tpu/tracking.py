@@ -52,6 +52,29 @@ class TrackerConfig:
     # fused-tracker extras: forest label confidence gate and a tracked
     # static-size segmentation window (full-res pixels; None = full image)
     label_conf_thresh: float = 0.5
+    # Per-group gate relaxation (requires part_groups): hand/foot leaves
+    # are inherently diffuse (tiny parts, depth probes can't isolate them),
+    # so a flat gate discards essentially ALL extremity labels — measured
+    # on the bench forest: 100% of true-hand pixels and ~90% of true-foot
+    # pixels gated to background at 0.55, which starves those groups of
+    # correspondences entirely (cf. the reference's per-part starvation
+    # printout, AvatarOptimizer.cpp:946-949).  Groups listed here gate at
+    # label_conf_low instead; blob suppression + group matching bound the
+    # damage from the extra false positives.
+    label_conf_low: float = 0.3
+    label_conf_low_groups: tuple = ()  # measured net-negative on the bench
+    # Wildcard (label-free) correspondence channel (FusedTracker, requires
+    # part_groups): up to wild_n foreground samples whose forest label was
+    # confidence-gated away are matched to the nearest visible model vertex
+    # of ANY part, gated at wild_gate meters and weighted wild_weight.
+    # Rationale: the forest localizes hands/feet so poorly that their true
+    # pixels are almost all gated to background (measured: 100% of true-hand
+    # pixels at 0.55 on the bench forest), so those limbs otherwise drift on
+    # the temporal prior alone; classic label-free ICP support pulls them
+    # back without trusting unreliable labels.
+    wild_n: int = 512
+    wild_gate: float = 0.12
+    wild_weight: float = 0.7
     # inference-side class rebalancing of forest leaf distributions:
     # multiply by (class frequency)^-alpha and renormalize, shifting the
     # argmax toward rare classes (hands/feet) without retraining.  0 = off

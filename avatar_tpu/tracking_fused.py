@@ -113,7 +113,7 @@ def _fused_frame_impl(ctx: FitContext, ctx_fit: Optional[FitContext],
                       n_steps: int, num_parts: int, max_depth: int,
                       use_forest: bool, use_bgsub: bool, use_jsr: bool,
                       pad_n: int, seg_window=None,
-                      conf_thresh: float = 0.0,
+                      conf_thresh=0.0,  # [num_parts] per-group gate vector
                       point_weight: float = 1.0,
                       plane_weight: float = 0.0,
                       huber_k: float = 1.5,
@@ -125,7 +125,10 @@ def _fused_frame_impl(ctx: FitContext, ctx_fit: Optional[FitContext],
                       boost_n: int = 0,
                       boost_groups: Tuple[int, ...] = (),
                       freeze_shape: bool = False,
-                      fit_sorted: bool = False) -> FrameOut:
+                      fit_sorted: bool = False,
+                      wild_n: int = 0,
+                      wild_gate: float = 0.12,
+                      wild_weight: float = 1.0) -> FrameOut:
     """One tracked frame, fully on device.
 
     depth [H, W] f32 meters (or uint16 millimeters — converted here), so the
@@ -181,11 +184,11 @@ def _fused_frame_impl(ctx: FitContext, ctx_fit: Optional[FitContext],
             if not multi:
                 leaf = walk_pixels(tree_scaled, pys, pxs, pz, pfg,
                                    pflat, pshape, max_depth, ptl, pbr)
+                best1 = tree.leaf_best[jnp.maximum(leaf, 0)]
                 keep = (leaf >= 0) & (
-                    tree.leaf_conf[jnp.maximum(leaf, 0)] >= conf_thresh)
-                return jnp.where(keep,
-                                 tree.leaf_best[jnp.maximum(leaf, 0)],
-                                 jnp.uint8(255))
+                    tree.leaf_conf[jnp.maximum(leaf, 0)] >=
+                    conf_thresh[best1.astype(jnp.int32)])
+                return jnp.where(keep, best1, jnp.uint8(255))
             # multi-tree: average leaf distributions over trees
             # (rtree-run.cpp:92-121), then argmax + confidence gate
             axes = TreeTensors(*([0] * len(TreeTensors._fields)))
@@ -200,7 +203,7 @@ def _fused_frame_impl(ctx: FitContext, ctx_fit: Optional[FitContext],
             dsum = jnp.sum(dist, axis=0)               # [K, P]
             conf = jnp.max(dsum, -1) / jnp.maximum(votes, 1.0)
             best = jnp.argmax(dsum, -1).astype(jnp.uint8)
-            keep = (votes > 0) & (conf >= conf_thresh)
+            keep = (votes > 0) & (conf >= conf_thresh[best.astype(jnp.int32)])
             return jnp.where(keep, best, jnp.uint8(255))
 
         if seg_window is not None:
@@ -399,7 +402,27 @@ def _fused_frame_impl(ctx: FitContext, ctx_fit: Optional[FitContext],
         pts = jnp.concatenate(
             [pts, jnp.stack([bx[:, 0], -bx[:, 1], bx[:, 2]], axis=1)])
         parts = jnp.concatenate([parts, bl])
-    n_points = jnp.sum((parts >= 0).astype(jnp.int32))
+
+    if wild_n and use_forest:
+        # Wildcard channel: foreground pixels whose forest label was
+        # confidence-gated to background become label-free ICP support
+        # (part id == num_parts; see gauss_newton.fit wild_gate docs).
+        # Same static-top-k sampling as the extremity boost.
+        flat_lab_w = lab_src.reshape(-1).astype(jnp.int32)
+        flat_z_w = xyz_src[..., 2].reshape(-1)
+        is_w = (flat_lab_w == 255) & (flat_z_w > 0)
+        hidx_w = jnp.arange(flat_lab_w.shape[0], dtype=jnp.uint32)
+        noise_w = ((hidx_w * jnp.uint32(2246822519)) &
+                   jnp.uint32(0xFFFF)).astype(jnp.float32) / 65536.0
+        _, topw = jax.lax.top_k(is_w.astype(jnp.float32) * 2.0 + noise_w,
+                                wild_n)
+        wx = xyz_src.reshape(-1, 3)[topw]
+        wl = jnp.where(is_w[topw], num_parts, -1)
+        pts = jnp.concatenate(
+            [pts, jnp.stack([wx[:, 0], -wx[:, 1], wx[:, 2]], axis=1)])
+        parts = jnp.concatenate([parts, wl])
+    n_points = jnp.sum(((parts >= 0) & (parts < num_parts)).astype(
+        jnp.int32))
 
     # pad to the static bucket
     N = pts.shape[0]
@@ -417,7 +440,8 @@ def _fused_frame_impl(ctx: FitContext, ctx_fit: Optional[FitContext],
                           robust_per_part=robust_per_part,
                           beta_temp=beta_temp, clamp_angle=clamp_angle,
                           freeze_shape=freeze_shape,
-                          model_sorted=fit_sorted and ctx_fit is not None)
+                          model_sorted=fit_sorted and ctx_fit is not None,
+                          wild_gate=wild_gate, wild_weight=wild_weight)
     host_diag = jnp.concatenate([
         n_points[None].astype(depth_s.dtype),
         diag.cost[None].astype(depth_s.dtype),
@@ -440,7 +464,8 @@ fused_frame = functools.partial(jax.jit, static_argnames=(
     "parents", "seg_stride", "data_substride", "n_steps", "num_parts",
     "max_depth", "use_forest", "use_bgsub", "use_jsr", "pad_n",
     "seg_window", "robust_per_part", "use_render_labels", "boost_n",
-    "boost_groups", "freeze_shape", "fit_sorted"))(_fused_frame_impl)
+    "boost_groups", "freeze_shape", "fit_sorted", "wild_n"))(
+    _fused_frame_impl)
 
 
 @functools.partial(
@@ -449,7 +474,7 @@ fused_frame = functools.partial(jax.jit, static_argnames=(
                      "num_parts", "max_depth", "use_forest", "use_bgsub",
                      "use_jsr", "pad_n", "seg_window", "robust_per_part",
                      "use_render_labels", "boost_n", "boost_groups",
-                     "freeze_shape", "fit_sorted"))
+                     "freeze_shape", "fit_sorted", "wild_n"))
 def fused_frames_batch(ctx, ctx_fit, tree, parents, depth_b, labels_b,
                        bg_depth, intrin4, theta0: Theta, com_pre,
                        beta_pose, beta_shape, nn_t, nb_t, min_cc_pts,
@@ -457,7 +482,7 @@ def fused_frames_batch(ctx, ctx_fit, tree, parents, depth_b, labels_b,
                        data_substride: int, n_steps: int, num_parts: int,
                        max_depth: int, use_forest: bool, use_bgsub: bool,
                        use_jsr: bool, pad_n: int, seg_window=None,
-                       conf_thresh: float = 0.0, point_weight: float = 1.0,
+                       conf_thresh=0.0, point_weight: float = 1.0,
                        plane_weight: float = 0.0, huber_k: float = 1.5,
                        robust_per_part: bool = False,
                        use_render_labels: bool = False,
@@ -465,7 +490,9 @@ def fused_frames_batch(ctx, ctx_fit, tree, parents, depth_b, labels_b,
                        clamp_angle: float = 0.0, boost_n: int = 0,
                        boost_groups: Tuple[int, ...] = (),
                        freeze_shape: bool = False,
-                       fit_sorted: bool = False):
+                       fit_sorted: bool = False,
+                       wild_n: int = 0, wild_gate: float = 0.12,
+                       wild_weight: float = 1.0):
     """Track a whole BATCH of consecutive frames in one dispatch.
 
     A lax.scan over _fused_frame_impl carrying (theta, com_pre).  On a
@@ -485,7 +512,8 @@ def fused_frames_batch(ctx, ctx_fit, tree, parents, depth_b, labels_b,
             num_parts, max_depth, use_forest, use_bgsub, use_jsr, pad_n,
             seg_window, conf_thresh, point_weight, plane_weight, huber_k,
             robust_per_part, use_render_labels, render_tau, beta_temp,
-            clamp_angle, boost_n, boost_groups, freeze_shape, fit_sorted)
+            clamp_angle, boost_n, boost_groups, freeze_shape, fit_sorted,
+            wild_n, wild_gate, wild_weight)
         return (out.theta, out.com_pre), (out.theta, out.host_diag)
 
     (theta_f, com_f), (thetas, diags) = jax.lax.scan(
@@ -738,28 +766,33 @@ class FusedTracker:
         self._data_substride = dsub
         self._boost_cfg = (c.extremity_boost_n
                            if self._glut is not None else 0)
+        self._wild_cfg = (c.wild_n if self._glut is not None
+                          and self._tree is not None else 0)
         Hs, Ws = self._proc_size
         n_data = ((Hs + dsub - 1) // dsub) * ((Ws + dsub - 1) // dsub)
-        self._pad_n, self._boost_n = self._fit_bucket(n_data)
+        self._pad_n, self._boost_n, self._wild_n = self._fit_bucket(n_data)
 
-    def _fit_bucket(self, n_data: int) -> Tuple[int, int]:
-        """(pad_n, boost_n) for a fit over ``n_data`` grid samples.
+    def _fit_bucket(self, n_data: int) -> Tuple[int, int, int]:
+        """(pad_n, boost_n, wild_n) for a fit over ``n_data`` grid samples.
 
-        pad_n is the power-of-two static bucket.  The extremity boost is
-        clamped into the bucket's slack when crossing a power-of-two
-        boundary would be mostly padding: doubling pad_n doubles every
-        data-axis op in the NN kernel and fit loop, which is never worth a
-        handful of extra boost samples.
+        pad_n is the power-of-two static bucket.  The extremity boost and
+        the wildcard channel are clamped into the bucket's slack (boost
+        first) when crossing a power-of-two boundary would be mostly
+        padding: doubling pad_n doubles every data-axis op in the NN kernel
+        and fit loop, which is never worth a handful of extra samples.
         """
-        want = self._boost_cfg
+        want_b = self._boost_cfg
+        want_w = self._wild_cfg
         pad = 1024
         while pad < n_data:
             pad *= 2
         slack = pad - n_data
+        want = want_b + want_w
         if want > slack and slack < want // 2:
             pad *= 2
             slack = pad - n_data
-        return pad, min(want, slack)
+        boost_n = min(want_b, slack)
+        return pad, boost_n, min(want_w, slack - boost_n)
 
     def _pre_stride(self, arr: np.ndarray) -> np.ndarray:
         s = self._host_stride
@@ -814,7 +847,18 @@ class FusedTracker:
                 render_tau=jnp.asarray(c.render_label_tau, dt),
                 beta_temp=jnp.asarray(c.beta_temp, dt),
                 clamp_angle=jnp.asarray(c.pose_clamp_angle, dt),
+                wild_gate=jnp.asarray(c.wild_gate, dt),
+                wild_weight=jnp.asarray(c.wild_weight, dt),
                 zero=jnp.asarray(0.0, dt))
+            # per-group confidence gate: relaxed for the diffuse extremity
+            # groups (see TrackerConfig.label_conf_low); group ids only
+            # mean anything when group matching is on
+            cv = np.full(self.num_parts, c.label_conf_thresh, np.float32)
+            if self._glut is not None:
+                for g in c.label_conf_low_groups:
+                    if 0 <= g < self.num_parts:
+                        cv[g] = c.label_conf_low
+            consts["conf_vec"] = jnp.asarray(cv)
         return consts
 
     def _run(self, xyz, labels, n_steps, use_window=True,
@@ -822,7 +866,7 @@ class FusedTracker:
         c = self.config
         hs = self._host_stride
         window = None
-        pad_n, boost_n = self._pad_n, self._boost_n
+        pad_n, boost_n, wild_n = (self._pad_n, self._boost_n, self._wild_n)
         if (use_window and c.seg_window is not None and
                 self.rtree is not None):
             Hs, Ws = self._proc_size
@@ -830,7 +874,7 @@ class FusedTracker:
                       min(c.seg_window[1] // hs, Ws))
             dsub = self._data_substride
             n_data = (-(-window[0] // dsub)) * (-(-window[1] // dsub))
-            pad_n, boost_n = self._fit_bucket(n_data)
+            pad_n, boost_n, wild_n = self._fit_bucket(n_data)
         consts = self._consts()
         return fused_frame(
             self._ctx, self._ctx_fit, self._tree,
@@ -845,7 +889,7 @@ class FusedTracker:
             use_bgsub=self._use_bgsub,
             use_jsr=self.model.use_joint_shape_regressor,
             pad_n=pad_n, seg_window=window,
-            conf_thresh=c.label_conf_thresh,
+            conf_thresh=consts["conf_vec"],
             point_weight=consts["point_weight"],
             plane_weight=consts["plane_weight"],
             huber_k=consts["huber_k"],
@@ -864,7 +908,9 @@ class FusedTracker:
             # steady-state frames solve in the reduced [dp | dr] tangent;
             # shape keys are fit during (re)init frames only
             freeze_shape=not is_reinit,
-            fit_sorted=self._fit_sorted)
+            fit_sorted=self._fit_sorted,
+            wild_n=wild_n, wild_gate=consts["wild_gate"],
+            wild_weight=consts["wild_weight"])
 
     def track(self, frame, labels_override: Optional[np.ndarray] = None):
         """Track one frame.  ``frame`` is an XYZ map [H, W, 3], a float
@@ -983,7 +1029,7 @@ class FusedTracker:
         c = self.config
         consts = self._consts()
         window = None
-        pad_n, boost_n = self._pad_n, self._boost_n
+        pad_n, boost_n, wild_n = (self._pad_n, self._boost_n, self._wild_n)
         if c.seg_window is not None and self.rtree is not None:
             Hs, Ws = self._proc_size
             hs = self._host_stride
@@ -991,7 +1037,7 @@ class FusedTracker:
                       min(c.seg_window[1] // hs, Ws))
             dsub = self._data_substride
             n_data = (-(-window[0] // dsub)) * (-(-window[1] // dsub))
-            pad_n, boost_n = self._fit_bucket(n_data)
+            pad_n, boost_n, wild_n = self._fit_bucket(n_data)
         return fused_frames_batch(
             self._ctx, self._ctx_fit, self._tree, self.model.parents,
             xyz_b, labels_b, self._bg, self._intrin4, self._theta,
@@ -1006,7 +1052,7 @@ class FusedTracker:
             use_bgsub=self._use_bgsub,
             use_jsr=self.model.use_joint_shape_regressor,
             pad_n=pad_n, seg_window=window,
-            conf_thresh=c.label_conf_thresh,
+            conf_thresh=consts["conf_vec"],
             point_weight=consts["point_weight"],
             plane_weight=consts["plane_weight"],
             huber_k=consts["huber_k"],
@@ -1020,7 +1066,9 @@ class FusedTracker:
             # the batch path is steady-state by construction (reinit runs
             # through the synchronous path first)
             freeze_shape=True,
-            fit_sorted=self._fit_sorted)
+            fit_sorted=self._fit_sorted,
+            wild_n=wild_n, wild_gate=consts["wild_gate"],
+            wild_weight=consts["wild_weight"])
 
     def track_batch(self, frames, labels_override=None):
         """Track a list of consecutive frames in ONE device dispatch.

@@ -302,3 +302,60 @@ def test_nn_step_candidate_subsampling(setup):
     assert info["n_matched"] > 0
     err = np.linalg.norm(ava.joint_pos - gt.joint_pos, axis=1).mean()
     assert err < 0.05
+
+
+def test_wildcard_nn_matches_any_part(rng):
+    """Data points labeled ``num_parts`` (wildcard) match the nearest
+    visible model vertex of ANY part, gated at wild_gate; real labels are
+    unaffected (the label-free support channel, gauss_newton.fit docs)."""
+    P, N, num_parts = 300, 256, 6
+    model_cloud = rng.normal(size=(P, 3)).astype(np.float32)
+    model_part = rng.integers(0, num_parts, P).astype(np.int32)
+    visible = rng.random(P) < 0.7
+    data = rng.normal(size=(N, 3)).astype(np.float32)
+    data_part = np.full(N, -1, np.int32)
+    data_part[:120] = rng.integers(0, num_parts, 120)
+    data_part[120:200] = num_parts          # wildcards
+    gate = 0.8
+
+    ref_corr = np.full(N, -1)
+    for n in range(N):
+        if data_part[n] < 0:
+            continue
+        if data_part[n] == num_parts:
+            mask = visible.copy()
+        else:
+            mask = (model_part == data_part[n]) & visible
+        if not mask.any():
+            continue
+        d2 = ((model_cloud - data[n]) ** 2).sum(1)
+        d2[~mask] = np.inf
+        j = int(np.argmin(d2))
+        if data_part[n] == num_parts and d2[j] > gate * gate:
+            continue                         # gated out
+        ref_corr[n] = j
+
+    # unplanned XLA path
+    st = correspond.find_nn_stats(
+        jnp.asarray(data), jnp.asarray(data_part), jnp.asarray(model_cloud),
+        jnp.asarray(model_part), jnp.asarray(visible), chunk=64,
+        wild=num_parts, wild_gate2=jnp.asarray(gate * gate, jnp.float32))
+    np.testing.assert_array_equal(np.asarray(st.corr), ref_corr)
+    assert (ref_corr[120:200] >= 0).any(), "test must exercise wild matches"
+
+    # planned Pallas path (interpret mode), compared after the data sort
+    plan = correspond.make_nn_plan(
+        jnp.asarray(data), jnp.asarray(data_part), jnp.asarray(model_part),
+        num_parts=num_parts, tile_n=128, chunk=128)
+    got = correspond.find_nn_stats_planned(
+        plan, jnp.asarray(model_cloud), jnp.asarray(visible),
+        interpret=True, wild=num_parts,
+        wild_gate2=jnp.asarray(gate * gate, jnp.float32))
+    order = np.argsort(data_part, kind="stable")
+    got_d = np.where(np.asarray(got.corr) >= 0, np.sqrt(((
+        model_cloud[np.maximum(np.asarray(got.corr), 0)] - data[order]) ** 2
+    ).sum(1)), -1.0)
+    ref_d = np.where(ref_corr[order] >= 0, np.sqrt(((
+        model_cloud[np.maximum(ref_corr[order], 0)] - data[order]) ** 2
+    ).sum(1)), -1.0)
+    np.testing.assert_allclose(got_d, ref_d, atol=1e-5)
