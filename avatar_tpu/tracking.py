@@ -73,8 +73,20 @@ class TrackerConfig:
     # the temporal prior alone; classic label-free ICP support pulls them
     # back without trusting unreliable labels.
     wild_n: int = 512
-    wild_gate: float = 0.12
+    wild_gate: float = 0.2
     wild_weight: float = 0.7
+    # Reverse (model->data) matching for starved groups: when a group in
+    # reverse_groups has fewer than rev_min forward data matches, its
+    # visible model vertices pull toward the nearest same-group-or-wildcard
+    # data point (gated at rev_gate meters, weighted rev_weight).
+    # DEFAULT OFF: measured net-negative on the bench at every setting
+    # tried (feet capture the opposite leg, 52.9mm; hands-only corrupts the
+    # well-tracked hand, 29.1mm vs 22.6mm with the wildcard channel alone).
+    # Kept as a knob for scenes with separated limbs.
+    reverse_groups: tuple = ()
+    rev_weight: float = 0.5
+    rev_gate: float = 0.25
+    rev_min: float = 10.0
     # inference-side class rebalancing of forest leaf distributions:
     # multiply by (class frequency)^-alpha and renormalize, shifting the
     # argmax toward rare classes (hands/feet) without retraining.  0 = off

@@ -128,7 +128,11 @@ def _fused_frame_impl(ctx: FitContext, ctx_fit: Optional[FitContext],
                       fit_sorted: bool = False,
                       wild_n: int = 0,
                       wild_gate: float = 0.12,
-                      wild_weight: float = 1.0) -> FrameOut:
+                      wild_weight: float = 1.0,
+                      reverse_groups: Tuple[int, ...] = (),
+                      rev_weight: float = 0.5,
+                      rev_gate: float = 0.25,
+                      rev_min: float = 10.0) -> FrameOut:
     """One tracked frame, fully on device.
 
     depth [H, W] f32 meters (or uint16 millimeters — converted here), so the
@@ -441,7 +445,10 @@ def _fused_frame_impl(ctx: FitContext, ctx_fit: Optional[FitContext],
                           beta_temp=beta_temp, clamp_angle=clamp_angle,
                           freeze_shape=freeze_shape,
                           model_sorted=fit_sorted and ctx_fit is not None,
-                          wild_gate=wild_gate, wild_weight=wild_weight)
+                          wild_gate=wild_gate, wild_weight=wild_weight,
+                          reverse_groups=reverse_groups,
+                          rev_weight=rev_weight, rev_gate=rev_gate,
+                          rev_min=rev_min)
     host_diag = jnp.concatenate([
         n_points[None].astype(depth_s.dtype),
         diag.cost[None].astype(depth_s.dtype),
@@ -464,8 +471,8 @@ fused_frame = functools.partial(jax.jit, static_argnames=(
     "parents", "seg_stride", "data_substride", "n_steps", "num_parts",
     "max_depth", "use_forest", "use_bgsub", "use_jsr", "pad_n",
     "seg_window", "robust_per_part", "use_render_labels", "boost_n",
-    "boost_groups", "freeze_shape", "fit_sorted", "wild_n"))(
-    _fused_frame_impl)
+    "boost_groups", "freeze_shape", "fit_sorted", "wild_n",
+    "reverse_groups"))(_fused_frame_impl)
 
 
 @functools.partial(
@@ -474,7 +481,8 @@ fused_frame = functools.partial(jax.jit, static_argnames=(
                      "num_parts", "max_depth", "use_forest", "use_bgsub",
                      "use_jsr", "pad_n", "seg_window", "robust_per_part",
                      "use_render_labels", "boost_n", "boost_groups",
-                     "freeze_shape", "fit_sorted", "wild_n"))
+                     "freeze_shape", "fit_sorted", "wild_n",
+                     "reverse_groups"))
 def fused_frames_batch(ctx, ctx_fit, tree, parents, depth_b, labels_b,
                        bg_depth, intrin4, theta0: Theta, com_pre,
                        beta_pose, beta_shape, nn_t, nb_t, min_cc_pts,
@@ -492,7 +500,10 @@ def fused_frames_batch(ctx, ctx_fit, tree, parents, depth_b, labels_b,
                        freeze_shape: bool = False,
                        fit_sorted: bool = False,
                        wild_n: int = 0, wild_gate: float = 0.12,
-                       wild_weight: float = 1.0):
+                       wild_weight: float = 1.0,
+                       reverse_groups: Tuple[int, ...] = (),
+                       rev_weight: float = 0.5, rev_gate: float = 0.25,
+                       rev_min: float = 10.0):
     """Track a whole BATCH of consecutive frames in one dispatch.
 
     A lax.scan over _fused_frame_impl carrying (theta, com_pre).  On a
@@ -513,7 +524,8 @@ def fused_frames_batch(ctx, ctx_fit, tree, parents, depth_b, labels_b,
             seg_window, conf_thresh, point_weight, plane_weight, huber_k,
             robust_per_part, use_render_labels, render_tau, beta_temp,
             clamp_angle, boost_n, boost_groups, freeze_shape, fit_sorted,
-            wild_n, wild_gate, wild_weight)
+            wild_n, wild_gate, wild_weight, reverse_groups, rev_weight,
+            rev_gate, rev_min)
         return (out.theta, out.com_pre), (out.theta, out.host_diag)
 
     (theta_f, com_f), (thetas, diags) = jax.lax.scan(
@@ -849,6 +861,9 @@ class FusedTracker:
                 clamp_angle=jnp.asarray(c.pose_clamp_angle, dt),
                 wild_gate=jnp.asarray(c.wild_gate, dt),
                 wild_weight=jnp.asarray(c.wild_weight, dt),
+                rev_weight=jnp.asarray(c.rev_weight, dt),
+                rev_gate=jnp.asarray(c.rev_gate, dt),
+                rev_min=jnp.asarray(c.rev_min, dt),
                 zero=jnp.asarray(0.0, dt))
             # per-group confidence gate: relaxed for the diffuse extremity
             # groups (see TrackerConfig.label_conf_low); group ids only
@@ -910,7 +925,12 @@ class FusedTracker:
             freeze_shape=not is_reinit,
             fit_sorted=self._fit_sorted,
             wild_n=wild_n, wild_gate=consts["wild_gate"],
-            wild_weight=consts["wild_weight"])
+            wild_weight=consts["wild_weight"],
+            reverse_groups=(tuple(c.reverse_groups)
+                            if self._glut is not None and
+                            self.rtree is not None else ()),
+            rev_weight=consts["rev_weight"], rev_gate=consts["rev_gate"],
+            rev_min=consts["rev_min"])
 
     def track(self, frame, labels_override: Optional[np.ndarray] = None):
         """Track one frame.  ``frame`` is an XYZ map [H, W, 3], a float
@@ -1068,7 +1088,12 @@ class FusedTracker:
             freeze_shape=True,
             fit_sorted=self._fit_sorted,
             wild_n=wild_n, wild_gate=consts["wild_gate"],
-            wild_weight=consts["wild_weight"])
+            wild_weight=consts["wild_weight"],
+            reverse_groups=(tuple(c.reverse_groups)
+                            if self._glut is not None and
+                            self.rtree is not None else ()),
+            rev_weight=consts["rev_weight"], rev_gate=consts["rev_gate"],
+            rev_min=consts["rev_min"])
 
     def track_batch(self, frames, labels_override=None):
         """Track a list of consecutive frames in ONE device dispatch.
