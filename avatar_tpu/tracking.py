@@ -72,7 +72,12 @@ class TrackerConfig:
     # pixels at 0.55 on the bench forest), so those limbs otherwise drift on
     # the temporal prior alone; classic label-free ICP support pulls them
     # back without trusting unreliable labels.
-    wild_n: int = 512
+    # wild_n=992 fills the bench window's pad-bucket slack exactly (pad 8192,
+    # n_data 7200) with the boost off: measured 10.0mm joint error vs 22.6mm
+    # at the old (boost 1024, wild 512) split, at identical device cost —
+    # crossing into the next bucket (wild 1024 + boost 1024, pad 16384) is
+    # WORSE (12.1mm) and ~2x the NN-kernel cost.
+    wild_n: int = 992
     wild_gate: float = 0.2
     wild_weight: float = 0.7
     # Reverse (model->data) matching for starved groups: when a group in
@@ -87,6 +92,30 @@ class TrackerConfig:
     rev_weight: float = 0.5
     rev_gate: float = 0.25
     rev_min: float = 10.0
+    # Geodesic extremity anchors (FusedTracker, requires part_groups +
+    # forest): hands/feet/head are geodesic extrema of the foreground
+    # surface, found by geo_iters rounds of 8-neighbor min-plus relaxation
+    # on a geo_sub-coarsened grid with true 3D edge lengths (depth
+    # discontinuities are long edges, so the metric follows the body
+    # surface).  Extrema deeper than geo_min meters (along the surface,
+    # from the body centroid) are assigned uniquely to the nearest model
+    # limb-tip group within geo_gate meters and injected as
+    # geo_anchor_n duplicated data points of that group — label-free
+    # "this tip is HERE" evidence independent of the forest, which
+    # conf-gates away essentially all true extremity pixels (measured:
+    # 100% of hand pixels on the bench forest).  geo_anchor_n = 0 disables.
+    # EXPERIMENTAL, default off: the anchor finder itself validates on
+    # static frames (tests/test_geo_anchors.py, all 4 limb tips within
+    # 10cm), but injecting duplicated anchors measurably HURT the 24-frame
+    # tracking eval (103.9mm vs 10.0mm) — occasional misassignments are
+    # amplified by the duplication weight; the wildcard channel (wild_n)
+    # covers the same failure mode more robustly.
+    geo_anchor_n: int = 0
+    geo_groups: tuple = (1, 6, 7, 12, 13)   # head, l/r foot, l/r hand
+    geo_iters: int = 48
+    geo_sub: int = 3
+    geo_min: float = 0.55
+    geo_gate: float = 0.35
     # inference-side class rebalancing of forest leaf distributions:
     # multiply by (class frequency)^-alpha and renormalize, shifting the
     # argmax toward rare classes (hands/feet) without retraining.  0 = off
@@ -120,8 +149,12 @@ class TrackerConfig:
     # extremity_boost_n extra data samples of the listed groups at full
     # segmentation resolution, so thin limbs aren't starved by the coarse
     # data_interval grid.  Group ids are in part_groups space (the default
-    # lists calves/feet/forearms/hands of SMPL24_GROUP_LUT)
-    extremity_boost_n: int = 1024
+    # groups listed are calves/feet/forearms/hands of SMPL24_GROUP_LUT).
+    # Default 0: the wildcard channel subsumes it — boosted samples carry
+    # the forest's own unreliable extremity labels, and measured tracking
+    # is strictly better spending the pad-bucket slack on wildcard support
+    # instead (10.0mm vs 12.1mm joint error on the 24-frame eval)
+    extremity_boost_n: int = 0
     extremity_boost_groups: tuple = (4, 5, 6, 7, 10, 11, 12, 13)
     # per-limb recovery (FusedTracker, requires part_groups): when an
     # extremity group matched zero data points for limb_recovery_frames
