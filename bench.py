@@ -21,6 +21,7 @@ import argparse
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -52,6 +53,24 @@ def main():
 
     if args.quick:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # The remote-TPU tunnel can wedge so hard that jax.devices() blocks
+        # forever (observed: hours).  Probe it from a daemon thread with a
+        # hard deadline so a dead tunnel yields a structured failure line
+        # instead of a hung benchmark.
+        probe: list = []
+        th = threading.Thread(
+            target=lambda: probe.append(jax.devices()[0].platform),
+            daemon=True)
+        th.start()
+        th.join(240.0)
+        if not probe:
+            print(json.dumps({
+                "metric": "end_to_end_fps", "value": 0.0, "unit": "fps",
+                "vs_baseline": 0.0,
+                "error": "device init timed out after 240s "
+                         "(remote TPU tunnel down)"}))
+            sys.exit(1)
     import jax.numpy as jnp
 
     from avatar_tpu.core import rotation
