@@ -32,7 +32,10 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-_INF = jnp.float32(3.0e38)
+# Python literal, NOT jnp.float32(...): a module-level jnp constant would
+# initialize the backend at import time, hanging every CLI tool when the
+# remote-TPU tunnel is unreachable.
+_INF = 3.0e38
 
 
 def _pallas_enabled() -> bool:

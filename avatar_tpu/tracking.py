@@ -116,6 +116,15 @@ class TrackerConfig:
     geo_sub: int = 3
     geo_min: float = 0.55
     geo_gate: float = 0.35
+    # selective ensemble walk (FusedTracker, multi-tree forests): walk
+    # tree 0 on every foreground pixel; only pixels whose tree-0 leaf
+    # confidence is below this threshold — compacted into a K/3 bucket —
+    # are walked through the remaining trees and ensemble-averaged.  The
+    # forest walk is the gather-bound segmentation stage and scales with
+    # trees x pixels, but tree votes only disagree on the hard
+    # (extremity/boundary) pixels; torso interiors clear the gate from one
+    # tree alone.  0 disables (all trees walk every pixel).
+    selective_walk: float = 0.0
     # inference-side class rebalancing of forest leaf distributions:
     # multiply by (class frequency)^-alpha and renormalize, shifting the
     # argmax toward rare classes (hands/feet) without retraining.  0 = off

@@ -236,7 +236,8 @@ def _fused_frame_impl(ctx: FitContext, ctx_fit: Optional[FitContext],
                       geo_iters: int = 48,
                       geo_sub: int = 3,
                       geo_min: float = 0.55,
-                      geo_gate: float = 0.35) -> FrameOut:
+                      geo_gate: float = 0.35,
+                      sel_walk: float = 0.0) -> FrameOut:
     """One tracked frame, fully on device.
 
     depth [H, W] f32 meters (or uint16 millimeters — converted here), so the
@@ -297,9 +298,63 @@ def _fused_frame_impl(ctx: FitContext, ctx_fit: Optional[FitContext],
                     tree.leaf_conf[jnp.maximum(leaf, 0)] >=
                     conf_thresh[best1.astype(jnp.int32)])
                 return jnp.where(keep, best1, jnp.uint8(255))
+            axes = TreeTensors(*([0] * len(TreeTensors._fields)))
+            if sel_walk > 0.0:
+                # Selective ensemble walk: the walk is the gather-bound
+                # stage (cost ~ trees x pixels x depth) but tree votes only
+                # disagree where the problem is hard.  Walk tree 0
+                # everywhere; pixels whose tree-0 confidence clears
+                # ``sel_walk`` keep the (gated) single-tree label, and only
+                # the low-confidence remainder — compacted into a K/3
+                # bucket — pays for the full ensemble.  Easy pixels are
+                # torso interiors where all trees agree anyway; the hard
+                # bucket is exactly the extremity/boundary set that needs
+                # the vote.  Overflow past the bucket degrades to the gated
+                # tree-0 label (what a single-tree forest would produce).
+                first = jax.tree_util.tree_map(lambda a: a[0], tree_scaled)
+                leaf0 = walk_pixels(first, pys, pxs, pz, pfg,
+                                    pflat, pshape, max_depth, ptl, pbr)
+                l0 = jnp.maximum(leaf0, 0)
+                best0 = tree.leaf_best[0][l0]
+                conf0 = jnp.where(leaf0 >= 0, tree.leaf_conf[0][l0], 0.0)
+                easy = (leaf0 >= 0) & (conf0 >= sel_walk)
+                K = leaf0.shape[0]
+                K2 = max(-(-(K // 3) // 128) * 128, 128)
+                hard = pfg & jnp.logical_not(easy)
+                tie2 = ((jnp.arange(K, dtype=jnp.uint32) *
+                         jnp.uint32(2654435761)) &
+                        jnp.uint32(0xFFFF)).astype(jnp.float32) / 65536.0
+                _, hsel = jax.lax.top_k(
+                    hard.astype(jnp.float32) * 2.0 + tie2, min(K2, K))
+                hard_sel = hard[hsel]
+                rest = jax.tree_util.tree_map(lambda a: a[1:], tree_scaled)
+                leafs_h = jax.vmap(
+                    lambda tt: walk_pixels(tt, pys[hsel], pxs[hsel],
+                                           pz[hsel], hard_sel, pflat,
+                                           pshape, max_depth, ptl, pbr),
+                    in_axes=(axes,))(rest)             # [T-1, K2]
+                dist_h = jax.vmap(lambda lf, ld: jnp.where(
+                    (lf >= 0)[..., None], ld[jnp.maximum(lf, 0)], 0.0))(
+                    leafs_h, tree.leaf_data[1:])       # [T-1, K2, P]
+                lf0_h = leaf0[hsel]
+                d0_h = jnp.where((lf0_h >= 0)[..., None],
+                                 tree.leaf_data[0][jnp.maximum(lf0_h, 0)],
+                                 0.0)
+                votes_h = (jnp.sum((leafs_h >= 0).astype(d0_h.dtype), 0)
+                           + (lf0_h >= 0))
+                dsum_h = jnp.sum(dist_h, axis=0) + d0_h
+                conf_h = jnp.max(dsum_h, -1) / jnp.maximum(votes_h, 1.0)
+                best_h = jnp.argmax(dsum_h, -1).astype(jnp.uint8)
+                keep_h = hard_sel & (votes_h > 0) & (
+                    conf_h >= conf_thresh[best_h.astype(jnp.int32)])
+                lab_h = jnp.where(keep_h, best_h, jnp.uint8(255))
+                keep0 = (leaf0 >= 0) & (
+                    conf0 >= conf_thresh[best0.astype(jnp.int32)])
+                lab = jnp.where(keep0, best0, jnp.uint8(255))
+                return lab.at[hsel].set(
+                    jnp.where(hard_sel, lab_h, lab[hsel]))
             # multi-tree: average leaf distributions over trees
             # (rtree-run.cpp:92-121), then argmax + confidence gate
-            axes = TreeTensors(*([0] * len(TreeTensors._fields)))
             leafs = jax.vmap(
                 lambda tt: walk_pixels(tt, pys, pxs, pz, pfg,
                                        pflat, pshape, max_depth, ptl, pbr),
@@ -592,7 +647,7 @@ fused_frame = functools.partial(jax.jit, static_argnames=(
     "seg_window", "robust_per_part", "use_render_labels", "boost_n",
     "boost_groups", "freeze_shape", "fit_sorted", "wild_n",
     "reverse_groups", "geo_n", "geo_groups", "geo_iters",
-    "geo_sub"))(_fused_frame_impl)
+    "geo_sub", "sel_walk"))(_fused_frame_impl)
 
 
 @functools.partial(
@@ -603,7 +658,7 @@ fused_frame = functools.partial(jax.jit, static_argnames=(
                      "use_render_labels", "boost_n", "boost_groups",
                      "freeze_shape", "fit_sorted", "wild_n",
                      "reverse_groups", "geo_n", "geo_groups", "geo_iters",
-                     "geo_sub"))
+                     "geo_sub", "sel_walk"))
 def fused_frames_batch(ctx, ctx_fit, tree, parents, depth_b, labels_b,
                        bg_depth, intrin4, theta0: Theta, com_pre,
                        beta_pose, beta_shape, nn_t, nb_t, min_cc_pts,
@@ -627,7 +682,8 @@ def fused_frames_batch(ctx, ctx_fit, tree, parents, depth_b, labels_b,
                        rev_min: float = 10.0,
                        geo_n: int = 0, geo_groups: Tuple[int, ...] = (),
                        geo_iters: int = 48, geo_sub: int = 3,
-                       geo_min: float = 0.55, geo_gate: float = 0.35):
+                       geo_min: float = 0.55, geo_gate: float = 0.35,
+                       sel_walk: float = 0.0):
     """Track a whole BATCH of consecutive frames in one dispatch.
 
     A lax.scan over _fused_frame_impl carrying (theta, com_pre).  On a
@@ -651,7 +707,7 @@ def fused_frames_batch(ctx, ctx_fit, tree, parents, depth_b, labels_b,
             wild_n, wild_gate, wild_weight, reverse_groups, rev_weight,
             rev_gate, rev_min, geo_n=geo_n, geo_groups=geo_groups,
             geo_iters=geo_iters, geo_sub=geo_sub, geo_min=geo_min,
-            geo_gate=geo_gate)
+            geo_gate=geo_gate, sel_walk=sel_walk)
         return (out.theta, out.com_pre), (out.theta, out.host_diag)
 
     (theta_f, com_f), (thetas, diags) = jax.lax.scan(
@@ -1076,7 +1132,8 @@ class FusedTracker:
             geo_groups=(tuple(c.geo_groups)
                         if geo_n and not is_reinit else ()),
             geo_iters=c.geo_iters, geo_sub=c.geo_sub,
-            geo_min=consts["geo_min"], geo_gate=consts["geo_gate"])
+            geo_min=consts["geo_min"], geo_gate=consts["geo_gate"],
+            sel_walk=float(c.selective_walk))
 
     def track(self, frame, labels_override: Optional[np.ndarray] = None):
         """Track one frame.  ``frame`` is an XYZ map [H, W, 3], a float
@@ -1243,7 +1300,8 @@ class FusedTracker:
             rev_min=consts["rev_min"],
             geo_n=geo_n, geo_groups=tuple(c.geo_groups) if geo_n else (),
             geo_iters=c.geo_iters, geo_sub=c.geo_sub,
-            geo_min=consts["geo_min"], geo_gate=consts["geo_gate"])
+            geo_min=consts["geo_min"], geo_gate=consts["geo_gate"],
+            sel_walk=float(c.selective_walk))
 
     def track_batch(self, frames, labels_override=None):
         """Track a list of consecutive frames in ONE device dispatch.

@@ -160,6 +160,53 @@ def test_fused_multi_tree_forest(sequence):
     assert err < 0.2, f"multi-tree fused err {err * 1e3:.0f} mm"
 
 
+def test_selective_walk(sequence):
+    """Selective ensemble walk: high-confidence pixels keep the gated
+    tree-0 label; only the low-confidence bucket pays for all trees.
+    Must track comparably to the full ensemble, and with the threshold at
+    ~0 (everything easy) must equal a single-tree walk of tree 0."""
+    from avatar_tpu.perception.rtree import RTree
+    from avatar_tpu.train.forest import ForestTrainer
+
+    model, frames = sequence
+    trees = []
+    for seed in (5, 95):
+        tr = ForestTrainer(
+            model, INTRIN, (H, W), num_parts=24, num_images=16,
+            num_points_per_image=300, num_features=32,
+            max_probe_offset=80.0, min_samples=24, max_tree_depth=8,
+            image_batch=8, seed=seed)
+        t = RTree(24)
+        t.set_forest(tr.train())
+        t.partmap_type = 0
+        trees.append(t)
+
+    depth, mask, gtj = frames[0]
+    kw = dict(data_interval=4, min_points=60, iters_per_icp=4,
+              label_conf_thresh=0.3, seg_window=None, rtree_interval=2)
+
+    def run(rtree, **over):
+        tracker = FusedTracker(model, INTRIN, (H, W), rtree=rtree,
+                               config=TrackerConfig(**kw, **over))
+        res = tracker.track(depth)
+        assert res.ok
+        ava = tracker.sync_avatar()
+        return np.linalg.norm(ava.joint_pos - gtj, axis=1).mean(), tracker
+
+    err_full, _ = run(trees)
+    err_sel, _ = run(trees, selective_walk=0.55)
+    assert err_sel < 0.2, f"selective-walk err {err_sel * 1e3:.0f} mm"
+    assert err_sel < err_full + 0.05, (
+        f"selective {err_sel * 1e3:.0f} mm vs full {err_full * 1e3:.0f} mm")
+    # threshold ~0: every labeled pixel is "easy" -> identical pose to a
+    # single-tree (tree 0) tracker
+    err_sel0, t_a = run(trees, selective_walk=1e-6)
+    err_one, t_b = run(trees[:1])
+    ja = t_a.sync_avatar().joint_pos
+    jb = t_b.sync_avatar().joint_pos
+    np.testing.assert_allclose(ja, jb, atol=5e-4)
+
+
 def test_track_batch_matches_sync(sequence):
     """track_batch (one scan dispatch) must produce the same poses as the
     per-frame synchronous path, modulo the limb-recovery host step (both
