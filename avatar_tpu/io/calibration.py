@@ -2,7 +2,19 @@
 
 Mirrors the reference ``CameraIntrin`` (include/Calibration.h:11-77,
 Calibration.cpp) including the on-disk ``intrin.txt`` format: whitespace
-separated ``tag value`` pairs with tags fx/fy/cx/cy, k1..k6, p1/p2.
+separated ``tag value`` pairs with tags fx/fy/cx/cy plus distortion
+coefficients.
+
+Documented divergence (bug-for-bug fidelity NOT preserved, on purpose):
+the reference's ``writeFile`` emits 0-based distortion tags ``k0..k5`` /
+``p0 p1`` (Calibration.cpp:104-108), and the genuine Azure-Kinect-produced
+artifact shipped with the reference (``intrin.txt``) uses that scheme —
+but the reference's ``readFile`` decodes tags with ``idx = tag[1] - '1'``
+(Calibration.cpp:39-46), i.e. 1-based, so it silently DROPS ``k0`` and
+``p0`` of its own writer's output and shifts nothing else. We parse the
+writer's 0-based scheme faithfully, recovering every coefficient from
+genuine reference files; see tests/test_formats.py::test_intrin_reads_
+reference_artifact.
 
 Device-side helpers (`depth_to_xyz`, `project`) are plain jnp functions so
 they can be fused into larger jitted pipelines.
@@ -62,11 +74,14 @@ class CameraIntrin:
                 intr.cy = val
                 good += 1
             elif tag[0] == "k" and tag[1].isdigit():
-                idx = int(tag[1]) - 1
+                # 0-based, matching the reference *writer* and the genuine
+                # artifact (see module docstring re the reference reader's
+                # off-by-one).
+                idx = int(tag[1])
                 if 0 <= idx < 6:
                     k[idx] = val
             elif tag[0] == "p" and tag[1].isdigit():
-                idx = int(tag[1]) - 1
+                idx = int(tag[1])
                 if 0 <= idx < 2:
                     p[idx] = val
             i += 2
@@ -81,10 +96,10 @@ class CameraIntrin:
             f.write(f"fx {self.fx}\ncx {self.cx}\nfy {self.fy}\ncy {self.cy}\n")
             for i, v in enumerate(self.k):
                 if v != 0.0:
-                    f.write(f"k{i + 1} {v}\n")
+                    f.write(f"k{i} {v}\n")
             for i, v in enumerate(self.p):
                 if v != 0.0:
-                    f.write(f"p{i + 1} {v}\n")
+                    f.write(f"p{i} {v}\n")
 
     # -- geometry -------------------------------------------------------------
 

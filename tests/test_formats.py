@@ -1,5 +1,7 @@
 """Codec round-trip tests: .depth RLE, .srtr, .partmap, intrin.txt, mocap."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -103,6 +105,32 @@ def test_intrin_roundtrip(tmp_path):
     assert abs(intr2.k[0] - 0.1) < 1e-9
     assert abs(intr2.k[2] - 0.05) < 1e-9
     assert abs(intr2.p[0] - 0.01) < 1e-9
+
+
+def test_intrin_reads_reference_artifact():
+    """Parse the genuine reference-produced intrin.txt (Azure Kinect K4A
+    calibration committed with sxyu/avatar), including every distortion
+    coefficient.
+
+    This is the only true cross-implementation artifact available: it was
+    written by the reference's ``CameraIntrin::writeFile``
+    (Calibration.cpp:97-112) from a real device calibration. Tags are
+    0-based (k0..k5, p0 p1) — see io/calibration.py's module docstring for
+    the reference reader's own off-by-one, which we deliberately do not
+    reproduce.
+    """
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "ref_intrin.txt")
+    intr = CameraIntrin.from_file(path)
+    assert abs(intr.fx - 606.438) < 1e-9
+    assert abs(intr.cx - 637.294) < 1e-9
+    assert abs(intr.fy - 606.351) < 1e-9
+    assert abs(intr.cy - 366.992) < 1e-9
+    np.testing.assert_allclose(
+        intr.k, [0.777798, -2.93384, 1.6463, 0.655163, -2.76696, 1.57894],
+        rtol=0, atol=1e-12)
+    np.testing.assert_allclose(
+        intr.p, [0.000662754, 6.69302e-05], rtol=0, atol=1e-12)
 
 
 def test_intrin_projection_inverse():
