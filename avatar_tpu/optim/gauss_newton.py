@@ -652,7 +652,7 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
 @functools.partial(
     jax.jit,
     static_argnames=("parents", "use_jsr", "n_steps", "enable_occlusion",
-                     "chunk", "num_parts"))
+                     "chunk", "num_parts", "wild", "freeze_shape"))
 def fit_refine(ctx: FitContext, parents: Tuple[int, ...],
                ring_faces: jnp.ndarray, data_pts: jnp.ndarray,
                data_part: jnp.ndarray, theta0: Theta,
@@ -664,7 +664,10 @@ def fit_refine(ctx: FitContext, parents: Tuple[int, ...],
                point_weight: jnp.ndarray | float = 0.2,
                function_tolerance: float = 1e-7,
                huber_k: jnp.ndarray | float = 4.0,
-               trim_k: jnp.ndarray | float = 20.0) -> Tuple[Theta, FitDiag]:
+               trim_k: jnp.ndarray | float = 20.0,
+               wild: int = -1000,
+               wild_gate2=None,
+               freeze_shape: bool = False) -> Tuple[Theta, FitDiag]:
     """High-exactness avatar fit: point-to-MESH ICP with per-datum Jacobians.
 
     The tracking fit (``fit``) matches data to the nearest model vertex and
@@ -726,7 +729,8 @@ def fit_refine(ctx: FitContext, parents: Tuple[int, ...],
         if ctx.cand_mask is not None:
             vis = vis & ctx.cand_mask
         st = correspond.find_nn_stats(
-            data_pts, data_part, x, ctx.model_part, vis, chunk=chunk)
+            data_pts, data_part, x, ctx.model_part, vis, chunk=chunk,
+            wild=wild, wild_gate2=wild_gate2)
         tri_idx, bary, fnrm, valid = surface_correspond(
             data_pts, st.corr, x, ctx.faces, ring_faces, face_front=front)
         # Robust weighting against correspondence outliers.  Even at the
@@ -785,6 +789,16 @@ def fit_refine(ctx: FitContext, parents: Tuple[int, ...],
         d = jnp.maximum(d, 1e-3 * jnp.max(d))
         M = JtJ + lam * jnp.diag(d) + 1e-8 * jnp.eye(
             JtJ.shape[0], dtype=dtype)
+        if freeze_shape:
+            # in-tracker refine: shape keys are fit at (re)init only, like
+            # the main fit's reduced tangent — pin the shape block with a
+            # dominant diagonal penalty so delta_w ~ 0
+            Dd = M.shape[0]
+            nk = Dd - (3 + 3 * len(parents))
+            if nk > 0:
+                fmask = jnp.concatenate(
+                    [jnp.zeros(Dd - nk, dtype), jnp.ones(nk, dtype)])
+                M = M + jnp.diag(fmask * (1e6 * jnp.max(d)))
         cho = jax.scipy.linalg.cho_factor(M)
         delta = -jax.scipy.linalg.cho_solve(cho, Jtr)
         trial = _retract(theta, delta, Rg, parents)

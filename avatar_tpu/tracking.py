@@ -45,6 +45,45 @@ class TrackerConfig:
     iters_per_icp: int = 10
     min_points: int = 1000        # reinitCnz
     dist_to_pre_weight: float = 0.001
+    # Occlusion resilience (FusedTracker; the blob-sanity role of the
+    # reference's per-part CoM tracking + tracking-loss state machine,
+    # live-demo.cpp:250-422):
+    # body_gate: foreground components whose mean depth differs from the
+    # tracked root's camera depth by more than this (meters) are rejected
+    # before segmentation/fit — an occluder entering the scene is a new
+    # blob at the wrong depth, and without the gate its points capture the
+    # ICP wholesale (measured: 1030 mm joint error in the eval_long
+    # occluded phase; <40 mm with the gate).  Disabled during (re)init
+    # when no prior pose exists.  0 = off.
+    body_gate: float = 0.6
+    # max_root_jump: a steady-state frame whose fit moved the root by more
+    # than this (meters) is rejected (coast on the previous pose); a full
+    # reinit happens only after lost_reinit_frames consecutive rejections
+    # (reinit drops the body gate, so reinitializing while an occluder is
+    # in frame risks locking onto it).  0 = off.
+    max_root_jump: float = 0.45
+    lost_reinit_frames: int = 5
+    # absent_fg_frac: fraction of the min_points presence bar that
+    # body-gated foreground alone (labels all conf-gated, e.g. only an
+    # arm visible past an occluder) must clear for the frame to still be
+    # fit rather than declared lost.
+    absent_fg_frac: float = 0.25
+    # lost_gated_frames: for this many frames after a loss, reinit
+    # attempts stay body-gated at the last-known depth (an occluder still
+    # in frame cannot capture them); after that, cold ungated reinit
+    # (covers a person re-entering at a different depth).
+    lost_gated_frames: int = 45
+    # Per-frame surface-exactness refine (FusedTracker): every
+    # refine_every-th steady-state frame, re-fit the frame's data bucket
+    # against the mesh SURFACE (point-to-triangle ICP, optim/surface.py,
+    # refine_steps LM steps) starting from the tracked pose, with the
+    # priors scaled by refine_beta.  Removes the point-to-vertex fit's
+    # vertex-spacing bias on the PRODUCT path (the BASELINE "<1 mm" bar is
+    # a property of the fit the system ships, not an offline probe).
+    # 0 disables.
+    refine_every: int = 0
+    refine_steps: int = 4
+    refine_beta: float = 0.1
     nn_dist_thresh_rel: float = 0.005
     neighb_thresh_rel: float = 0.005
     bgsub_stride: int = 2         # subtraction grid stride (downstream

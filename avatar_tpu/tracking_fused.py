@@ -30,7 +30,7 @@ import numpy as np
 
 from avatar_tpu.core.model import Avatar, AvatarModel
 from avatar_tpu.optim.gauss_newton import FitContext, PriorData, Theta, \
-    _forward, fit
+    _forward, fit, fit_refine
 from avatar_tpu.perception import cc
 from avatar_tpu.perception.rtree import TreeTensors, suppress_part_nonmax
 from avatar_tpu.utils import StageTimer
@@ -47,6 +47,8 @@ class FrameOut(NamedTuple):
     #   [3 : 3+G]            part_counts
     #   [3+G : 3+3G]         com_pre (2, G)
     #   [3+3G : 3+8G]        model_com (G, 5): px, py, X, Y, Z at theta0
+    #   [3+8G]               root_jump (m)
+    #   [3+8G+1]             n_fg (body-gated foreground, data-grid units)
     host_diag: jnp.ndarray
 
 
@@ -57,6 +59,8 @@ class HostDiag(NamedTuple):
     part_counts: np.ndarray   # [G]
     com_pre: np.ndarray       # [2, G]
     model_com: np.ndarray     # [G, 5]
+    root_jump: float = 0.0    # |delta root| this frame (m)
+    n_fg: float = 0.0         # body-gated fg count (data-grid units)
 
 
 def unpack_diag(vec, num_parts: int) -> HostDiag:
@@ -66,16 +70,28 @@ def unpack_diag(vec, num_parts: int) -> HostDiag:
         n_points=int(a[0]), cost=float(a[1]), n_matched=int(a[2]),
         part_counts=a[3:3 + G],
         com_pre=a[3 + G:3 + 3 * G].reshape(2, G),
-        model_com=a[3 + 3 * G:3 + 8 * G].reshape(G, 5))
+        model_com=a[3 + 3 * G:3 + 8 * G].reshape(G, 5),
+        root_jump=float(a[3 + 8 * G]) if a.shape[0] > 3 + 8 * G else 0.0,
+        n_fg=float(a[3 + 8 * G + 1]) if a.shape[0] > 3 + 8 * G + 1 else 0.0)
 
 
-def _bg_subtract(xyz_s, bg_s, nn_t, nb_t, min_pts, cc_sub: int = 4):
+def _bg_subtract(xyz_s, bg_s, nn_t, nb_t, min_pts, cc_sub: int = 4,
+                 body_z=None, body_gate=None):
     """Strided background subtraction -> foreground mask [Hs, Ws].
 
     The per-pixel stencil test runs at full (strided) resolution; the
     component min-size filter runs on a cc_sub-times coarser subgrid (random
     gathers inside the label-propagation loop cost ~1 ms each on TPU, so CC
     grid size dominates its cost).  min_pts is in coarse-grid pixels.
+
+    When ``body_gate > 0`` (traced scalar, meters), components whose mean
+    depth is farther than body_gate from ``body_z`` (the tracked root's
+    camera depth) are also rejected.  This is the blob-sanity role the
+    reference's per-part CoM tracking plays (live-demo.cpp:250-422): an
+    occluder entering the scene is a new foreground component at the wrong
+    depth, and without the gate its points capture the ICP fit wholesale
+    (measured: 1030 mm joint error in the eval_long occluded phase).  The
+    gate is disabled during (re)init, when no valid prior pose exists.
     """
     from avatar_tpu.perception.bgsub import _foreground_mask
 
@@ -94,6 +110,14 @@ def _bg_subtract(xyz_s, bg_s, nn_t, nb_t, min_pts, cc_sub: int = 4):
     sizes = cc.component_sizes(labels)
     flat = labels.reshape(-1)
     keep_c = (flat >= 0) & (sizes[jnp.maximum(flat, 0)] >= min_pts)
+    if body_gate is not None and body_z is not None:
+        Hc, Wc = fg_c.shape
+        idx = jnp.where(flat >= 0, flat, Hc * Wc)
+        zsum = jnp.zeros(Hc * Wc + 1, xyz_c.dtype).at[idx].add(
+            xyz_c[..., 2].reshape(-1))[:-1]
+        zmean = zsum / jnp.maximum(sizes.astype(xyz_c.dtype), 1)
+        near = jnp.abs(zmean - body_z) <= body_gate
+        keep_c &= (body_gate <= 0) | near[jnp.maximum(flat, 0)]
     keep_c = keep_c.reshape(fg_c.shape)
     if cc_sub <= 1:
         return keep_c & fg
@@ -237,7 +261,11 @@ def _fused_frame_impl(ctx: FitContext, ctx_fit: Optional[FitContext],
                       geo_sub: int = 3,
                       geo_min: float = 0.55,
                       geo_gate: float = 0.35,
-                      sel_walk: float = 0.0) -> FrameOut:
+                      sel_walk: float = 0.0,
+                      body_gate=0.0,
+                      ring_faces=None,
+                      refine_steps: int = 0,
+                      refine_beta=0.1) -> FrameOut:
     """One tracked frame, fully on device.
 
     depth [H, W] f32 meters (or uint16 millimeters — converted here), so the
@@ -269,7 +297,10 @@ def _fused_frame_impl(ctx: FitContext, ctx_fit: Optional[FitContext],
         # profiling.trace_attribution exact stage buckets
         with jax.named_scope("bgsub"):
             bg_s = strided_xyz(bg_depth)
-            fg = _bg_subtract(xyz_s, bg_s, nn_t, nb_t, min_cc_pts)
+            # theta0.p is in model space = camera space with y negated
+            # (see FusedTracker reinit centroid), so its z IS camera depth
+            fg = _bg_subtract(xyz_s, bg_s, nn_t, nb_t, min_cc_pts,
+                              body_z=theta0.p[2], body_gate=body_gate)
             depth_s = jnp.where(fg, depth_s, 0.0)
             xyz_s = jnp.where(fg[..., None], xyz_s, 0.0)
     # segmentation on the strided grid
@@ -601,6 +632,18 @@ def _fused_frame_impl(ctx: FitContext, ctx_fit: Optional[FitContext],
         parts = jnp.concatenate([parts, jnp.repeat(alab, geo_n)])
     n_points = jnp.sum(((parts >= 0) & (parts < num_parts)).astype(
         jnp.int32))
+    # body-consistent foreground count in data-grid units: the presence
+    # signal for loss detection.  Labeled-point count alone starves under
+    # partial occlusion (the occluder hides the torso, the forest's
+    # extremity labels are conf-gated, and a healthy fit gets declared
+    # lost); the reference's reinitCnz counts foreground nonzeros too.
+    # Post-body-gate, fg is body-consistent by construction; 0 when bgsub
+    # is off (label count is then the only presence signal).
+    if use_bgsub:
+        n_fg = (jnp.sum((depth_s > 0).astype(jnp.float32)) /
+                float(data_substride * data_substride))
+    else:
+        n_fg = jnp.zeros((), jnp.float32)
 
     # pad to the static bucket
     N = pts.shape[0]
@@ -623,13 +666,33 @@ def _fused_frame_impl(ctx: FitContext, ctx_fit: Optional[FitContext],
                           reverse_groups=reverse_groups,
                           rev_weight=rev_weight, rev_gate=rev_gate,
                           rev_min=rev_min)
+    if refine_steps > 0 and ring_faces is not None:
+        # Optional per-frame exactness stage: re-fit the SAME data bucket
+        # against the mesh SURFACE (point-to-triangle, optim/surface.py)
+        # starting from the tracked pose.  The main fit's point-to-vertex
+        # optimum carries a vertex-spacing bias of a few millimeters; this
+        # removes it on the product path, not just in the offline probe.
+        # Priors are scaled down by refine_beta (exactness is the goal;
+        # the tracking regularizers deliberately bias toward the prior).
+        with jax.named_scope("refine"):
+            theta, _ = fit_refine(
+                ctx, parents, ring_faces, pts, parts, theta,
+                beta_pose * refine_beta, beta_shape * refine_beta,
+                n_steps=refine_steps, num_parts=num_parts,
+                wild=num_parts, wild_gate2=wild_gate * wild_gate,
+                freeze_shape=freeze_shape)
     host_diag = jnp.concatenate([
         n_points[None].astype(depth_s.dtype),
         diag.cost[None].astype(depth_s.dtype),
         diag.n_matched[None].astype(depth_s.dtype),
         diag.part_counts.astype(depth_s.dtype),
         com_new.astype(depth_s.dtype).reshape(-1),
-        model_com.astype(depth_s.dtype).reshape(-1)])
+        model_com.astype(depth_s.dtype).reshape(-1),
+        # root translation this frame (meters): the host's divergence
+        # detector (TrackerConfig.max_root_jump) reads it for free from
+        # the one packed diag copy
+        jnp.linalg.norm(theta.p - theta0.p)[None].astype(depth_s.dtype),
+        n_fg[None].astype(depth_s.dtype)])
     if use_forest and seg_window is not None:
         # recreate the full-grid label image for viz/diagnostics (one cheap
         # window-sized copy; everything outside the window is background)
@@ -647,7 +710,7 @@ fused_frame = functools.partial(jax.jit, static_argnames=(
     "seg_window", "robust_per_part", "use_render_labels", "boost_n",
     "boost_groups", "freeze_shape", "fit_sorted", "wild_n",
     "reverse_groups", "geo_n", "geo_groups", "geo_iters",
-    "geo_sub", "sel_walk"))(_fused_frame_impl)
+    "geo_sub", "sel_walk", "refine_steps"))(_fused_frame_impl)
 
 
 @functools.partial(
@@ -658,7 +721,7 @@ fused_frame = functools.partial(jax.jit, static_argnames=(
                      "use_render_labels", "boost_n", "boost_groups",
                      "freeze_shape", "fit_sorted", "wild_n",
                      "reverse_groups", "geo_n", "geo_groups", "geo_iters",
-                     "geo_sub", "sel_walk"))
+                     "geo_sub", "sel_walk", "refine_steps"))
 def fused_frames_batch(ctx, ctx_fit, tree, parents, depth_b, labels_b,
                        bg_depth, intrin4, theta0: Theta, com_pre,
                        beta_pose, beta_shape, nn_t, nb_t, min_cc_pts,
@@ -683,7 +746,9 @@ def fused_frames_batch(ctx, ctx_fit, tree, parents, depth_b, labels_b,
                        geo_n: int = 0, geo_groups: Tuple[int, ...] = (),
                        geo_iters: int = 48, geo_sub: int = 3,
                        geo_min: float = 0.55, geo_gate: float = 0.35,
-                       sel_walk: float = 0.0):
+                       sel_walk: float = 0.0, body_gate=0.0,
+                       ring_faces=None, refine_steps: int = 0,
+                       refine_beta=0.1):
     """Track a whole BATCH of consecutive frames in one dispatch.
 
     A lax.scan over _fused_frame_impl carrying (theta, com_pre).  On a
@@ -707,7 +772,9 @@ def fused_frames_batch(ctx, ctx_fit, tree, parents, depth_b, labels_b,
             wild_n, wild_gate, wild_weight, reverse_groups, rev_weight,
             rev_gate, rev_min, geo_n=geo_n, geo_groups=geo_groups,
             geo_iters=geo_iters, geo_sub=geo_sub, geo_min=geo_min,
-            geo_gate=geo_gate, sel_walk=sel_walk)
+            geo_gate=geo_gate, sel_walk=sel_walk, body_gate=body_gate,
+            ring_faces=ring_faces, refine_steps=refine_steps,
+            refine_beta=refine_beta)
         return (out.theta, out.com_pre), (out.theta, out.host_diag)
 
     (theta_f, com_f), (thetas, diags) = jax.lax.scan(
@@ -914,6 +981,17 @@ class FusedTracker:
                             np.zeros((1, num_parts))]), model.dtype)
         self.reinit = True
         self.first_init = True
+        self._lost_count = 0      # consecutive coasted (root-jump) frames
+        self._lost_frames = 0     # frames since tracking was lost
+        self._last_root_z = None  # last-known body camera depth (m)
+        self._frame_no = 0        # steady-state frame counter (refine cadence)
+        if self.config.refine_every > 0:
+            from avatar_tpu.optim.surface import vertex_face_rings
+
+            self._ring = jnp.asarray(vertex_face_rings(
+                np.asarray(model.faces), model.num_points()))
+        else:
+            self._ring = None
         self.limb_recoveries: dict = {}   # group id -> recovery event count
         self._theta = Theta(
             p=jnp.zeros(3, model.dtype),
@@ -1056,6 +1134,8 @@ class FusedTracker:
                 rev_min=jnp.asarray(c.rev_min, dt),
                 geo_min=jnp.asarray(c.geo_min, dt),
                 geo_gate=jnp.asarray(c.geo_gate, dt),
+                body_gate=jnp.asarray(c.body_gate, dt),
+                refine_beta=jnp.asarray(c.refine_beta, dt),
                 zero=jnp.asarray(0.0, dt))
             # per-group confidence gate: relaxed for the diffuse extremity
             # groups (see TrackerConfig.label_conf_low); group ids only
@@ -1069,7 +1149,8 @@ class FusedTracker:
         return consts
 
     def _run(self, xyz, labels, n_steps, use_window=True,
-             render_labels=True, is_reinit=False):
+             render_labels=True, is_reinit=False, reinit_gated=False,
+             refine=False):
         c = self.config
         hs = self._host_stride
         window = None
@@ -1133,7 +1214,17 @@ class FusedTracker:
                         if geo_n and not is_reinit else ()),
             geo_iters=c.geo_iters, geo_sub=c.geo_sub,
             geo_min=consts["geo_min"], geo_gate=consts["geo_gate"],
-            sel_walk=float(c.selective_walk))
+            sel_walk=float(c.selective_walk),
+            # no valid prior pose during a cold (re)init -> gate off; a
+            # GATED reinit (recent loss, last-known depth trusted) keeps
+            # it, anchored at the gated centroid the caller seeded
+            # theta0.p with.  Traced scalar: toggling does not recompile.
+            body_gate=(consts["body_gate"] if (not is_reinit or
+                                               reinit_gated)
+                       else consts["zero"]),
+            ring_faces=self._ring if refine else None,
+            refine_steps=c.refine_steps if refine else 0,
+            refine_beta=consts["refine_beta"])
 
     def track(self, frame, labels_override: Optional[np.ndarray] = None):
         """Track one frame.  ``frame`` is an XYZ map [H, W, 3], a float
@@ -1160,6 +1251,11 @@ class FusedTracker:
         min_needed = c.min_points / (c.data_interval ** 2)
         reinitialized = False
         if self.reinit:
+            # a failed attempt must leave the tracker coasting on the last
+            # good pose, not on the artificial reset seed the attempt
+            # planted in self._theta (consumers — and the long-eval's
+            # error metric — read _theta even for ok=False frames)
+            theta_keep, com_keep = self._theta, self.com_pre
             # host-side reinit: recenter at the (approximate) cloud centroid
             # and run a full-image (no window) fit with extra iterations
             with self.timer.stage("reinit"):
@@ -1180,6 +1276,22 @@ class FusedTracker:
                         ::dsub * hs, ::dsub * hs][
                         : fg.shape[0], : fg.shape[1]]
                     fg &= lab != 255
+                # GATED reinit: while the loss is recent, trust the
+                # last-known body depth — restrict the centroid (and,
+                # below, the device fg) to pixels near it, so an occluder
+                # still in frame cannot capture the reinit.  Falls back to
+                # a cold (ungated) reinit after lost_gated_frames, which
+                # also covers a person re-entering at a different depth.
+                gated = (c.body_gate > 0 and not self.first_init and
+                         self._last_root_z is not None and
+                         self._lost_frames < c.lost_gated_frames)
+                if gated:
+                    fg &= np.abs(sub[..., 2] - self._last_root_z) <= \
+                        c.body_gate
+                    if not fg.any():
+                        self._lost_frames += 1
+                        self._theta, self.com_pre = theta_keep, com_keep
+                        return TrackResult(ok=False, n_points=0)
                 centroid = (sub[fg] * np.array([1, -1, 1])).mean(axis=0) \
                     if fg.any() else np.array([0.0, 0.0, 2.5])
                 J = self.model.num_joints()
@@ -1215,7 +1327,8 @@ class FusedTracker:
                                     self.model.dtype))
                     self.com_pre = com0
                     out_s = self._run(xyz, labels, steps, use_window=False,
-                                      render_labels=False, is_reinit=True)
+                                      render_labels=False, is_reinit=True,
+                                      reinit_gated=gated)
                     diag_s = unpack_diag(out_s.host_diag, self.num_parts)
                     score = diag_s.cost / max(diag_s.n_matched, 1)
                     if best is None or score < best[0]:
@@ -1223,22 +1336,60 @@ class FusedTracker:
                 _, out, diag = best
                 n_points = diag.n_points
             if n_points < min_needed:
+                self._lost_frames += 1
+                self._theta, self.com_pre = theta_keep, com_keep
                 return TrackResult(ok=False, n_points=n_points)
             self.reinit = False
             self.first_init = False
             reinitialized = True
         else:
             n_steps = c.frame_icp_iters * c.iters_per_icp
+            self._frame_no += 1
+            refine = (c.refine_every > 0 and
+                      self._frame_no % c.refine_every == 0)
             with self.timer.stage("frame"):
-                out = self._run(xyz, labels, n_steps)
+                out = self._run(xyz, labels, n_steps, refine=refine)
                 diag = unpack_diag(out.host_diag, self.num_parts)
                 n_points = diag.n_points
-            if n_points < min_needed:
+            if (n_points < min_needed and
+                    diag.n_fg < max(2.0, min_needed * c.absent_fg_frac)):
+                # person absent or fully occluded: neither labeled points
+                # nor body-gated foreground.  (Labeled count alone is NOT
+                # loss evidence: under partial occlusion the visible
+                # strips are mostly conf-gated extremities; and even a
+                # QUARTER of the normal foreground — a visible arm — is
+                # worth fitting, because the temporal prior + per-joint
+                # clamp + root-jump detector bound what a sparse fit can
+                # do, while it keeps following gross motion.)  Coast and
+                # reinitialize — gated first (see the reinit branch), so
+                # an occluder still in frame cannot capture it.
                 self.reinit = True
+                self._lost_count = 0
+                self._lost_frames += 1
                 return TrackResult(ok=False, n_points=n_points)
+            if (c.max_root_jump > 0 and
+                    diag.root_jump > c.max_root_jump):
+                # the fit teleported: something captured the ICP.  Reject
+                # the frame — coast on the previous pose — and only do a
+                # full reinit after repeated failures, like the
+                # reference's tracking-loss state machine
+                # (live-demo.cpp:250-422).
+                self._lost_count += 1
+                self._lost_frames += 1
+                if self._lost_count >= c.lost_reinit_frames:
+                    self.reinit = True
+                    self._lost_count = 0
+                return TrackResult(ok=False, n_points=n_points)
+            self._lost_count = 0
 
         self._theta = out.theta
         self.com_pre = out.com_pre
+        self._lost_frames = 0
+        # last-known body depth, free from the packed diag: mean camera-z
+        # of the visible model part centroids at theta0 (1-frame lag)
+        mz = diag.model_com[:, 4]
+        if np.any(mz > 0):
+            self._last_root_z = float(np.mean(mz[mz > 0]))
         if not reinitialized:
             self._limb_recovery(diag, depth_np)
         res = TrackResult(ok=True, reinitialized=reinitialized,
@@ -1301,7 +1452,13 @@ class FusedTracker:
             geo_n=geo_n, geo_groups=tuple(c.geo_groups) if geo_n else (),
             geo_iters=c.geo_iters, geo_sub=c.geo_sub,
             geo_min=consts["geo_min"], geo_gate=consts["geo_gate"],
-            sel_walk=float(c.selective_walk))
+            sel_walk=float(c.selective_walk),
+            body_gate=consts["body_gate"],
+            # batch frames share one compiled scan: refine every frame
+            # (refine_every == 1) or not at all
+            ring_faces=self._ring if c.refine_every == 1 else None,
+            refine_steps=c.refine_steps if c.refine_every == 1 else 0,
+            refine_beta=consts["refine_beta"])
 
     def track_batch(self, frames, labels_override=None):
         """Track a list of consecutive frames in ONE device dispatch.
@@ -1358,9 +1515,20 @@ class FusedTracker:
         min_needed = c.min_points / (c.data_interval ** 2)
         for b in range(dn.shape[0]):
             diag = unpack_diag(dn[b], self.num_parts)
-            ok = diag.n_points >= min_needed
+            ok = (diag.n_points >= min_needed or
+                  diag.n_fg >= max(2.0, min_needed * c.absent_fg_frac)) \
+                and (c.max_root_jump <= 0 or
+                     diag.root_jump <= c.max_root_jump)
             if not ok:
+                # loss inside a batch: the remaining frames' results are
+                # still produced (documented above); reinit on next call
                 self.reinit = True
+                self._lost_frames += 1
+            else:
+                self._lost_frames = 0
+                mz = diag.model_com[:, 4]
+                if np.any(mz > 0):
+                    self._last_root_z = float(np.mean(mz[mz > 0]))
             results.append(TrackResult(
                 ok=ok, n_points=diag.n_points,
                 fit_info=self._fit_info(diag)))

@@ -482,6 +482,16 @@ def main():
     if args.json_out:
         with open(args.json_out, "w") as f:
             f.write(line + "\n")
+    # Successful full runs also persist to data/ (committed provenance:
+    # the driver's own bench window can land on a dead remote tunnel, and
+    # then the only verifiable perf record is what the repo carries).
+    if not args.quick:
+        import os as _os
+        _os.makedirs("data", exist_ok=True)
+        name = ("data/bench_latest.json" if not use_forest
+                else "data/bench_latest_forest.json")
+        with open(name, "w") as f:
+            f.write(line + "\n")
 
 
 if __name__ == "__main__":

@@ -231,3 +231,69 @@ def test_track_batch_matches_sync(sequence):
                                np.asarray(tr_sync._theta.rots), atol=1e-4)
     # stacked per-frame poses exposed for offline consumers
     assert np.asarray(tr_batch.batch_thetas.p).shape[0] == len(frames) - 1
+
+
+def test_body_gate_rejects_off_depth_components():
+    """Occlusion resilience (SURVEY §5.3; live-demo.cpp:250-422): the
+    component-level body gate drops foreground blobs whose depth is
+    inconsistent with the tracked body, so an occluder entering the scene
+    cannot feed the fit."""
+    import jax.numpy as jnp
+
+    from avatar_tpu.tracking_fused import _bg_subtract
+
+    Hs = Ws = 64
+    bg = np.zeros((Hs, Ws, 3), np.float32)
+    bg[..., 2] = 4.0
+    xyz = bg.copy()
+    # body blob at 2.6 m, occluder slab at 1.6 m
+    xyz[20:44, 8:24, 2] = 2.6
+    xyz[10:54, 36:56, 2] = 1.6
+    nn_t = jnp.asarray(0.05)
+    nb_t = jnp.asarray(0.05)
+    kw = dict(cc_sub=1, body_z=jnp.asarray(2.62))
+    fg_off = np.asarray(_bg_subtract(jnp.asarray(xyz), jnp.asarray(bg),
+                                     nn_t, nb_t, 10, **kw,
+                                     body_gate=jnp.asarray(0.0)))
+    fg_on = np.asarray(_bg_subtract(jnp.asarray(xyz), jnp.asarray(bg),
+                                    nn_t, nb_t, 10, **kw,
+                                    body_gate=jnp.asarray(0.6)))
+    # gate off: both blobs are foreground
+    assert fg_off[30, 16] and fg_off[30, 46]
+    # gate on: body kept, occluder rejected
+    assert fg_on[30, 16] and not fg_on[30, 46]
+    assert fg_on[20:44, 8:24].all()
+    assert not fg_on[10:54, 36:56].any()
+
+
+def test_occluder_does_not_capture_tracking(sequence):
+    """A near-depth occluder covering part of the body must not drag the
+    fit (measured failure: 1030 mm in the eval_long occluded phase before
+    the body gate + loss-state rework)."""
+    model, frames = sequence
+    bg_depth = np.full((H, W), 4.0, np.float32)
+    cfg = TrackerConfig(data_interval=4, min_points=200, iters_per_icp=4)
+    tracker = FusedTracker(model, INTRIN, (H, W), config=cfg)
+    tracker.set_background(bg_depth)
+    depth0, mask0, _ = frames[0]
+    scene0 = np.where(depth0 > 0, depth0, bg_depth)
+    assert tracker.track(scene0, labels_override=mask0).ok
+    for depth, mask, gtj in frames[1:]:
+        scene = np.where(depth > 0, depth, bg_depth).copy()
+        # slab at 1.5 m over the right third of the body's bbox
+        scene[:, 140:180] = 1.5
+        mask = np.asarray(mask).copy()
+        mask[:, 140:180] = 255
+        res = tracker.track(scene, labels_override=mask)
+        ava = tracker.sync_avatar()
+        err = np.linalg.norm(ava.joint_pos - gtj, axis=1).mean()
+        assert err < 0.25, f"occluder captured the fit: {err * 1e3:.0f} mm"
+        assert not res.reinitialized
+    # after the occluder leaves, tracking re-converges tightly
+    depth, mask, gtj = frames[-1]
+    scene = np.where(depth > 0, depth, bg_depth)
+    for _ in range(3):
+        tracker.track(scene, labels_override=mask)
+    ava = tracker.sync_avatar()
+    err = np.linalg.norm(ava.joint_pos - gtj, axis=1).mean()
+    assert err < 0.09, f"post-occlusion err {err * 1e3:.0f} mm"
