@@ -246,55 +246,11 @@ def _retract(theta: Theta, delta: jnp.ndarray, Rg, parents) -> Theta:
     return Theta(p=theta.p + dp, rots=new_rots, w=theta.w + dw)
 
 
-def _reverse_nn(xq, qpart, dpts, dpart, wild: int, chunk: int = 512):
-    """For each query (model vertex) the nearest DATA point whose label is
-    the query's own part or the wildcard id.  [Pq] (best_d2, best_i).
-
-    The reverse direction of the ICP matching: plain lax.scan over data
-    chunks with the MXU cross term (the data axis is small — one fit
-    bucket — so a dedicated Pallas kernel buys nothing here)."""
-    Pq = xq.shape[0]
-    N = dpts.shape[0]
-    center = jnp.mean(xq, axis=0)
-    xq_c = xq - center
-    d_c = dpts - center
-    q_norm2 = jnp.sum(xq_c * xq_c, axis=-1)
-    n_chunks = N // chunk
-    dc = d_c.reshape(n_chunks, chunk, 3)
-    dp = dpart.reshape(n_chunks, chunk)
-    d_norm2 = jnp.sum(dc * dc, axis=-1)
-
-    def body(carry, chunk_in):
-        best_d, best_i = carry
-        xc, xp, xn2, base = chunk_in
-        cross = jax.lax.dot_general(
-            xq_c, xc, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-        d2 = q_norm2[:, None] - 2.0 * cross + xn2[None, :]
-        ok = (xp[None, :] == qpart[:, None]) | (xp[None, :] == wild)
-        d2 = jnp.where(ok, d2, _INF_GN)
-        cmin = jnp.min(d2, axis=1)
-        carg = jnp.argmin(d2, axis=1).astype(jnp.int32) + base
-        take = cmin < best_d
-        return (jnp.where(take, cmin, best_d),
-                jnp.where(take, carg, best_i)), None
-
-    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    init = (jnp.full((Pq,), _INF_GN, jnp.float32),
-            jnp.full((Pq,), -1, jnp.int32))
-    (best_d, best_i), _ = jax.lax.scan(body, init, (dc, dp, d_norm2, bases))
-    return best_d, best_i
-
-
-_INF_GN = 3.0e38
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("parents", "use_jsr", "n_steps", "enable_occlusion",
                      "chunk", "robust", "num_parts", "robust_per_part",
-                     "freeze_shape", "model_sorted", "reverse_groups"))
+                     "freeze_shape", "model_sorted"))
 def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
         data_part: jnp.ndarray, theta0: Theta, beta_pose: jnp.ndarray,
         beta_shape: jnp.ndarray, n_steps: int,
@@ -312,11 +268,7 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
         freeze_shape: bool = False,
         model_sorted: bool = False,
         wild_gate: jnp.ndarray | float = 0.15,
-        wild_weight: jnp.ndarray | float = 1.0,
-        reverse_groups: Tuple[int, ...] = (),
-        rev_weight: jnp.ndarray | float = 0.5,
-        rev_gate: jnp.ndarray | float = 0.25,
-        rev_min: jnp.ndarray | float = 10.0) -> Tuple[Theta, FitDiag]:
+        wild_weight: jnp.ndarray | float = 1.0) -> Tuple[Theta, FitDiag]:
     """Full avatar fit (the reference's AvatarOptimizer::optimize) as one
     jitted program.
 
@@ -413,18 +365,6 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
                                   dtype=dtype)
                    * (data_part >= 0).astype(dtype)[:, None])   # [N, NP+1]
 
-    # reverse-matching constants (loop-invariant; see docstring)
-    use_rev = len(reverse_groups) > 0
-    if use_rev:
-        rev_g = jnp.zeros(NP_w + 2, jnp.bool_).at[
-            jnp.asarray(reverse_groups, jnp.int32)].set(True)
-        rev_vert = rev_g[jnp.clip(ctx.model_part, 0, NP_w)]      # [P]
-        w_rev = jnp.asarray(rev_weight, dtype)
-        rev_gate2 = jnp.asarray(rev_gate, dtype) ** 2
-        rev_min_t = jnp.asarray(rev_min, dtype)
-        rev_chunk = 512 if data_pts.shape[0] % 512 == 0 \
-            else data_pts.shape[0]
-
     def step(state):
         theta, fwd, lam, it, accepted, small_cnt, _, _, corr_prev = state
         x, shaped, j_init, Rg, tg, A = fwd
@@ -483,25 +423,6 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
         cnt = cs[:, 0]
         s = cs[:, 1:]
 
-        # reverse (model->data) matches for starved groups: visible model
-        # vertices of a group with < rev_min forward matches pull toward
-        # the nearest same-group-or-wildcard data point.  They enter the
-        # SAME per-vertex sufficient statistics (cnt, s), so the normal
-        # equations below need no new machinery.
-        if use_rev:
-            vw_r = valid.astype(dtype)
-            gcnt = jnp.zeros(NP_w + 2, dtype).at[
-                jnp.clip(data_part, 0, NP_w + 1)].add(vw_r)
-            starved_v = gcnt[jnp.clip(ctx.model_part, 0, NP_w)] < rev_min_t
-            rev_d2, rev_i = _reverse_nn(x, ctx.model_part, data_pts,
-                                        data_part, NP_w, chunk=rev_chunk)
-            rev_ok = (rev_vert & vis & starved_v & (rev_i >= 0) &
-                      (rev_d2 <= rev_gate2))
-            w_r = w_rev * rev_ok.astype(dtype)
-            d_rev = data_pts[jnp.maximum(rev_i, 0)]
-            cnt = cnt + w_r
-            s = s + w_r[:, None] * d_rev
-
         n_matched = jnp.sum(valid.astype(dtype))
         scale = jnp.sqrt(jnp.maximum(n_matched, 1.0)) / 15.0
         bp = beta_pose * scale
@@ -512,13 +433,6 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
             rr = xf[cidx] - data_pts
             c_pt = 0.5 * jnp.sum(wgt * jnp.sum(rr * rr, -1))
             c_pl = 0.5 * jnp.sum(wgt * jnp.sum(vn[cidx] * rr, -1) ** 2)
-            if use_rev:
-                # reverse pairs enter cnt/s and hence the gram; the cost
-                # must see the same terms or LM rejects their steps
-                rr_v = xf - d_rev
-                c_pt = c_pt + 0.5 * jnp.sum(w_r * jnp.sum(rr_v * rr_v, -1))
-                c_pl = c_pl + 0.5 * jnp.sum(
-                    w_r * jnp.sum(vn * rr_v, -1) ** 2)
             aa_t = rotation.so3_log(jnp.einsum(
                 "jab,jcb->jac", th.rots, rots0, precision=_HI))
             c_t = 0.5 * bt ** 2 * jnp.sum(aa_t * aa_t)

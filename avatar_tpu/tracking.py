@@ -119,42 +119,11 @@ class TrackerConfig:
     wild_n: int = 992
     wild_gate: float = 0.2
     wild_weight: float = 0.7
-    # Reverse (model->data) matching for starved groups: when a group in
-    # reverse_groups has fewer than rev_min forward data matches, its
-    # visible model vertices pull toward the nearest same-group-or-wildcard
-    # data point (gated at rev_gate meters, weighted rev_weight).
-    # DEFAULT OFF: measured net-negative on the bench at every setting
-    # tried (feet capture the opposite leg, 52.9mm; hands-only corrupts the
-    # well-tracked hand, 29.1mm vs 22.6mm with the wildcard channel alone).
-    # Kept as a knob for scenes with separated limbs.
-    reverse_groups: tuple = ()
-    rev_weight: float = 0.5
-    rev_gate: float = 0.25
-    rev_min: float = 10.0
-    # Geodesic extremity anchors (FusedTracker, requires part_groups +
-    # forest): hands/feet/head are geodesic extrema of the foreground
-    # surface, found by geo_iters rounds of 8-neighbor min-plus relaxation
-    # on a geo_sub-coarsened grid with true 3D edge lengths (depth
-    # discontinuities are long edges, so the metric follows the body
-    # surface).  Extrema deeper than geo_min meters (along the surface,
-    # from the body centroid) are assigned uniquely to the nearest model
-    # limb-tip group within geo_gate meters and injected as
-    # geo_anchor_n duplicated data points of that group — label-free
-    # "this tip is HERE" evidence independent of the forest, which
-    # conf-gates away essentially all true extremity pixels (measured:
-    # 100% of hand pixels on the bench forest).  geo_anchor_n = 0 disables.
-    # EXPERIMENTAL, default off: the anchor finder itself validates on
-    # static frames (tests/test_geo_anchors.py, all 4 limb tips within
-    # 10cm), but injecting duplicated anchors measurably HURT the 24-frame
-    # tracking eval (103.9mm vs 10.0mm) — occasional misassignments are
-    # amplified by the duplication weight; the wildcard channel (wild_n)
-    # covers the same failure mode more robustly.
-    geo_anchor_n: int = 0
-    geo_groups: tuple = (1, 6, 7, 12, 13)   # head, l/r foot, l/r hand
-    geo_iters: int = 48
-    geo_sub: int = 3
-    geo_min: float = 0.55
-    geo_gate: float = 0.35
+    # (Two knobs deleted in round 4 after being measured net-negative in
+    # every tried configuration: reverse model->data matching for starved
+    # groups, and geodesic extremity anchors.  The wildcard channel above
+    # covers their failure mode more robustly; see git history for the
+    # implementations and measurements.)
     # selective ensemble walk (FusedTracker, multi-tree forests): walk
     # tree 0 on every foreground pixel; only pixels whose tree-0 leaf
     # confidence is below this threshold — compacted into a K/3 bucket —

@@ -126,104 +126,6 @@ def _bg_subtract(xyz_s, bg_s, nn_t, nb_t, min_pts, cc_sub: int = 4,
     return keep & fg
 
 
-def geodesic_anchors(xyz_src: jnp.ndarray, fx_s, tipc: jnp.ndarray,
-                     tip_has: jnp.ndarray, tip_ids: jnp.ndarray,
-                     geo_iters: int = 48, geo_sub: int = 3,
-                     geo_min=0.55, geo_gate=0.35):
-    """Geodesic extremity anchors: forest-INDEPENDENT extremity evidence.
-
-    Hands/feet/head are geodesic extrema of the foreground surface (the
-    classic Kinect-era skeleton cue).  Approximates geodesic distance from
-    a body-centroid seed by ``geo_iters`` rounds of 8-neighbor min-plus
-    relaxation on a ``geo_sub``-coarsened subgrid, with TRUE 3D inter-pixel
-    distances as edge weights — a depth discontinuity is a long edge, so
-    the metric follows the body surface instead of shortcutting across
-    image-adjacent limbs.  Each distance-extremum (greedy top-k with a
-    ~0.3 m disk NMS) deeper than ``geo_min`` meters along the surface is
-    assigned uniquely to the nearest model limb-tip group within
-    ``geo_gate`` meters: a strong "this limb's tip is HERE" cue that
-    survives even when the forest conf-gates away every extremity pixel
-    (the measured failure mode; see TrackerConfig.wild_n).
-
-    xyz_src: [H, W, 3] camera-space points, background zeroed.
-    fx_s: focal length in xyz_src's pixel units.
-    tipc/tip_has/tip_ids: [T, 3] model-space tip-group centroids, validity,
-    and group ids (model space = camera space with y negated).
-    Returns (anc [T, 3] model-space anchor points, alab [T] assigned group
-    id or -1, D [Hc, Wc] the geodesic map for diagnostics).
-    """
-    cs = geo_sub
-    xyz_cg = xyz_src[::cs, ::cs]
-    z_cg = xyz_cg[..., 2]
-    fgc = z_cg > 0
-    Hc, Wc = z_cg.shape
-    dt_g = z_cg.dtype
-    GBIG = jnp.asarray(1e6, dt_g)
-    ysg = jnp.arange(Hc, dtype=dt_g)[:, None]
-    xsg = jnp.arange(Wc, dtype=dt_g)[None, :]
-    nfg = jnp.maximum(jnp.sum(fgc.astype(dt_g)), 1.0)
-    cyg = jnp.sum(jnp.where(fgc, ysg, 0.0)) / nfg
-    cxg = jnp.sum(jnp.where(fgc, xsg, 0.0)) / nfg
-    snap = jnp.where(fgc, (ysg - cyg) ** 2 + (xsg - cxg) ** 2, GBIG)
-    seed = jnp.argmin(snap.reshape(-1))
-    D0 = jnp.full((Hc * Wc,), GBIG, dt_g).at[seed].set(0.0)
-    D0 = jnp.where(fgc, D0.reshape(Hc, Wc), GBIG)
-    SHIFTS = ((-1, 0), (1, 0), (0, -1), (0, 1),
-              (-1, -1), (-1, 1), (1, -1), (1, 1))
-    xyz_pad = jnp.pad(xyz_cg, ((1, 1), (1, 1), (0, 0)))
-    fg_pad = jnp.pad(fgc, 1)
-    nbr_w = []
-    for dy, dx in SHIFTS:
-        nx = xyz_pad[1 + dy:1 + dy + Hc, 1 + dx:1 + dx + Wc]
-        nf = fg_pad[1 + dy:1 + dy + Hc, 1 + dx:1 + dx + Wc]
-        w = jnp.sqrt(jnp.sum((xyz_cg - nx) ** 2, -1) + 1e-12)
-        nbr_w.append(jnp.where(nf & fgc, w, GBIG))
-    wstack = jnp.stack(nbr_w)                           # [8, Hc, Wc]
-
-    def _geo_relax(D, _):
-        Dp = jnp.pad(D, 1, constant_values=GBIG)
-        best = D
-        for k, (dy, dx) in enumerate(SHIFTS):
-            best = jnp.minimum(
-                best,
-                Dp[1 + dy:1 + dy + Hc, 1 + dx:1 + dx + Wc] + wstack[k])
-        return jnp.minimum(best, GBIG), None
-
-    with jax.named_scope("geodesic"):
-        Dg, _ = jax.lax.scan(_geo_relax, D0, None, length=geo_iters)
-    Dwork = jnp.where(fgc & (Dg < GBIG * 0.5), Dg, -1.0)
-    fxc = fx_s / cs                           # coarse-grid focal length
-    A = tip_ids.shape[0]
-    anchors, anchors_ok = [], []
-    for _k in range(A):
-        i = jnp.argmax(Dwork.reshape(-1))
-        yi, xi = i // Wc, i % Wc
-        dk = Dwork.reshape(-1)[i]
-        axyz = xyz_cg[yi, xi]
-        anchors.append(jnp.stack([axyz[0], -axyz[1], axyz[2]]))
-        anchors_ok.append(dk > geo_min)
-        # suppress a ~0.3 m image disk around the pick
-        r_px = 0.30 * fxc / jnp.maximum(axyz[2], 0.5)
-        d2 = ((ysg - yi.astype(dt_g)) ** 2 +
-              (xsg - xi.astype(dt_g)) ** 2)
-        Dwork = jnp.where(d2 <= r_px ** 2, -1.0, Dwork)
-    anc = jnp.stack(anchors)                            # [A, 3] model space
-    aok = jnp.stack(anchors_ok)                         # [A]
-    # greedy UNIQUE assignment anchor -> tip, gated at geo_gate meters
-    Mat = jnp.linalg.norm(anc[:, None, :] - tipc[None, :, :], axis=-1)
-    Mat = jnp.where(aok[:, None] & tip_has[None, :], Mat, GBIG)
-    arange_a = jnp.arange(A)
-    alab = jnp.full((A,), -1, jnp.int32)
-    for _k in range(A):
-        fi = jnp.argmin(Mat.reshape(-1))
-        ai, ti = fi // A, fi % A
-        good = Mat.reshape(-1)[fi] < geo_gate
-        alab = jnp.where((arange_a == ai) & good, tip_ids[ti], alab)
-        Mat = jnp.where((arange_a[:, None] == ai) |
-                        (arange_a[None, :] == ti), GBIG, Mat)
-    return anc, alab, Dg
-
-
 def _fused_frame_impl(ctx: FitContext, ctx_fit: Optional[FitContext],
                       tree: Optional[TreeTensors],
                       parents: Tuple[int, ...], depth: jnp.ndarray,
@@ -251,16 +153,6 @@ def _fused_frame_impl(ctx: FitContext, ctx_fit: Optional[FitContext],
                       wild_n: int = 0,
                       wild_gate: float = 0.12,
                       wild_weight: float = 1.0,
-                      reverse_groups: Tuple[int, ...] = (),
-                      rev_weight: float = 0.5,
-                      rev_gate: float = 0.25,
-                      rev_min: float = 10.0,
-                      geo_n: int = 0,
-                      geo_groups: Tuple[int, ...] = (),
-                      geo_iters: int = 48,
-                      geo_sub: int = 3,
-                      geo_min: float = 0.55,
-                      geo_gate: float = 0.35,
                       sel_walk: float = 0.0,
                       body_gate=0.0,
                       ring_faces=None,
@@ -616,20 +508,6 @@ def _fused_frame_impl(ctx: FitContext, ctx_fit: Optional[FitContext],
             [pts, jnp.stack([wx[:, 0], -wx[:, 1], wx[:, 2]], axis=1)])
         parts = jnp.concatenate([parts, wl])
 
-    if geo_n and use_forest and len(geo_groups):
-        # Geodesic extremity anchors (see geodesic_anchors): model tip
-        # centroids at theta0 come from the gacc accumulator built for
-        # model_com above.
-        tip_ids = jnp.asarray(geo_groups, jnp.int32)
-        tipc = (gacc[:num_parts, 2:5] /
-                jnp.maximum(gacc[:num_parts, 5:], 1.0))[tip_ids]
-        tip_has = gacc[tip_ids, 5] > 0
-        anc, alab, _ = geodesic_anchors(
-            xyz_src, intrin4[0], tipc, tip_has, tip_ids,
-            geo_iters=geo_iters, geo_sub=geo_sub, geo_min=geo_min,
-            geo_gate=geo_gate)
-        pts = jnp.concatenate([pts, jnp.repeat(anc, geo_n, axis=0)])
-        parts = jnp.concatenate([parts, jnp.repeat(alab, geo_n)])
     n_points = jnp.sum(((parts >= 0) & (parts < num_parts)).astype(
         jnp.int32))
     # body-consistent foreground count in data-grid units: the presence
@@ -662,10 +540,7 @@ def _fused_frame_impl(ctx: FitContext, ctx_fit: Optional[FitContext],
                           beta_temp=beta_temp, clamp_angle=clamp_angle,
                           freeze_shape=freeze_shape,
                           model_sorted=fit_sorted and ctx_fit is not None,
-                          wild_gate=wild_gate, wild_weight=wild_weight,
-                          reverse_groups=reverse_groups,
-                          rev_weight=rev_weight, rev_gate=rev_gate,
-                          rev_min=rev_min)
+                          wild_gate=wild_gate, wild_weight=wild_weight)
     if refine_steps > 0 and ring_faces is not None:
         # Optional per-frame exactness stage: re-fit the SAME data bucket
         # against the mesh SURFACE (point-to-triangle, optim/surface.py)
@@ -709,8 +584,7 @@ fused_frame = functools.partial(jax.jit, static_argnames=(
     "max_depth", "use_forest", "use_bgsub", "use_jsr", "pad_n",
     "seg_window", "robust_per_part", "use_render_labels", "boost_n",
     "boost_groups", "freeze_shape", "fit_sorted", "wild_n",
-    "reverse_groups", "geo_n", "geo_groups", "geo_iters",
-    "geo_sub", "sel_walk", "refine_steps"))(_fused_frame_impl)
+    "sel_walk", "refine_steps"))(_fused_frame_impl)
 
 
 @functools.partial(
@@ -720,8 +594,7 @@ fused_frame = functools.partial(jax.jit, static_argnames=(
                      "use_jsr", "pad_n", "seg_window", "robust_per_part",
                      "use_render_labels", "boost_n", "boost_groups",
                      "freeze_shape", "fit_sorted", "wild_n",
-                     "reverse_groups", "geo_n", "geo_groups", "geo_iters",
-                     "geo_sub", "sel_walk", "refine_steps"))
+                     "sel_walk", "refine_steps"))
 def fused_frames_batch(ctx, ctx_fit, tree, parents, depth_b, labels_b,
                        bg_depth, intrin4, theta0: Theta, com_pre,
                        beta_pose, beta_shape, nn_t, nb_t, min_cc_pts,
@@ -740,12 +613,6 @@ def fused_frames_batch(ctx, ctx_fit, tree, parents, depth_b, labels_b,
                        fit_sorted: bool = False,
                        wild_n: int = 0, wild_gate: float = 0.12,
                        wild_weight: float = 1.0,
-                       reverse_groups: Tuple[int, ...] = (),
-                       rev_weight: float = 0.5, rev_gate: float = 0.25,
-                       rev_min: float = 10.0,
-                       geo_n: int = 0, geo_groups: Tuple[int, ...] = (),
-                       geo_iters: int = 48, geo_sub: int = 3,
-                       geo_min: float = 0.55, geo_gate: float = 0.35,
                        sel_walk: float = 0.0, body_gate=0.0,
                        ring_faces=None, refine_steps: int = 0,
                        refine_beta=0.1):
@@ -769,10 +636,8 @@ def fused_frames_batch(ctx, ctx_fit, tree, parents, depth_b, labels_b,
             seg_window, conf_thresh, point_weight, plane_weight, huber_k,
             robust_per_part, use_render_labels, render_tau, beta_temp,
             clamp_angle, boost_n, boost_groups, freeze_shape, fit_sorted,
-            wild_n, wild_gate, wild_weight, reverse_groups, rev_weight,
-            rev_gate, rev_min, geo_n=geo_n, geo_groups=geo_groups,
-            geo_iters=geo_iters, geo_sub=geo_sub, geo_min=geo_min,
-            geo_gate=geo_gate, sel_walk=sel_walk, body_gate=body_gate,
+            wild_n, wild_gate, wild_weight,
+            sel_walk=sel_walk, body_gate=body_gate,
             ring_faces=ring_faces, refine_steps=refine_steps,
             refine_beta=refine_beta)
         return (out.theta, out.com_pre), (out.theta, out.host_diag)
@@ -1040,39 +905,32 @@ class FusedTracker:
                            if self._glut is not None else 0)
         self._wild_cfg = (c.wild_n if self._glut is not None
                           and self._tree is not None else 0)
-        self._geo_cfg = (c.geo_anchor_n if self._glut is not None
-                         and self._tree is not None and c.geo_groups else 0)
         Hs, Ws = self._proc_size
         n_data = ((Hs + dsub - 1) // dsub) * ((Ws + dsub - 1) // dsub)
-        (self._pad_n, self._boost_n, self._wild_n,
-         self._geo_n) = self._fit_bucket(n_data)
+        (self._pad_n, self._boost_n,
+         self._wild_n) = self._fit_bucket(n_data)
 
-    def _fit_bucket(self, n_data: int) -> Tuple[int, int, int, int]:
-        """(pad_n, boost_n, wild_n, geo_n) for a fit over ``n_data`` grid
-        samples.
+    def _fit_bucket(self, n_data: int) -> Tuple[int, int, int]:
+        """(pad_n, boost_n, wild_n) for a fit over ``n_data`` grid samples.
 
-        pad_n is the power-of-two static bucket.  The geodesic anchors (a
-        fixed handful, first priority), the extremity boost, and the
-        wildcard channel are clamped into the bucket's slack when crossing
-        a power-of-two boundary would be mostly padding: doubling pad_n
-        doubles every data-axis op in the NN kernel and fit loop, which is
-        never worth a handful of extra samples.
+        pad_n is the power-of-two static bucket.  The extremity boost and
+        the wildcard channel are clamped into the bucket's slack when
+        crossing a power-of-two boundary would be mostly padding: doubling
+        pad_n doubles every data-axis op in the NN kernel and fit loop,
+        which is never worth a handful of extra samples.
         """
         want_b = self._boost_cfg
         want_w = self._wild_cfg
-        n_tips = len(self.config.geo_groups) if self._geo_cfg else 1
         pad = 1024
         while pad < n_data:
             pad *= 2
         slack = pad - n_data
-        want = want_b + want_w + self._geo_cfg * n_tips
+        want = want_b + want_w
         if want > slack and slack < want // 2:
             pad *= 2
             slack = pad - n_data
-        geo_n = min(self._geo_cfg, slack // n_tips)
-        slack -= geo_n * n_tips
         boost_n = min(want_b, slack)
-        return pad, boost_n, min(want_w, slack - boost_n), geo_n
+        return pad, boost_n, min(want_w, slack - boost_n)
 
     def _pre_stride(self, arr: np.ndarray) -> np.ndarray:
         s = self._host_stride
@@ -1129,11 +987,6 @@ class FusedTracker:
                 clamp_angle=jnp.asarray(c.pose_clamp_angle, dt),
                 wild_gate=jnp.asarray(c.wild_gate, dt),
                 wild_weight=jnp.asarray(c.wild_weight, dt),
-                rev_weight=jnp.asarray(c.rev_weight, dt),
-                rev_gate=jnp.asarray(c.rev_gate, dt),
-                rev_min=jnp.asarray(c.rev_min, dt),
-                geo_min=jnp.asarray(c.geo_min, dt),
-                geo_gate=jnp.asarray(c.geo_gate, dt),
                 body_gate=jnp.asarray(c.body_gate, dt),
                 refine_beta=jnp.asarray(c.refine_beta, dt),
                 zero=jnp.asarray(0.0, dt))
@@ -1154,8 +1007,8 @@ class FusedTracker:
         c = self.config
         hs = self._host_stride
         window = None
-        pad_n, boost_n, wild_n, geo_n = (self._pad_n, self._boost_n,
-                                         self._wild_n, self._geo_n)
+        pad_n, boost_n, wild_n = (self._pad_n, self._boost_n,
+                                  self._wild_n)
         if (use_window and c.seg_window is not None and
                 self.rtree is not None):
             Hs, Ws = self._proc_size
@@ -1163,7 +1016,7 @@ class FusedTracker:
                       min(c.seg_window[1] // hs, Ws))
             dsub = self._data_substride
             n_data = (-(-window[0] // dsub)) * (-(-window[1] // dsub))
-            pad_n, boost_n, wild_n, geo_n = self._fit_bucket(n_data)
+            pad_n, boost_n, wild_n = self._fit_bucket(n_data)
         consts = self._consts()
         return fused_frame(
             self._ctx, self._ctx_fit, self._tree,
@@ -1200,20 +1053,6 @@ class FusedTracker:
             fit_sorted=self._fit_sorted,
             wild_n=wild_n, wild_gate=consts["wild_gate"],
             wild_weight=consts["wild_weight"],
-            reverse_groups=(tuple(c.reverse_groups)
-                            if self._glut is not None and
-                            self.rtree is not None else ()),
-            rev_weight=consts["rev_weight"], rev_gate=consts["rev_gate"],
-            rev_min=consts["rev_min"],
-            # anchors assign against the CURRENT model tips, which is
-            # meaningless from a reinit's artificial reset pose (and the
-            # duplicated constraints would drag the multi-seed exploration
-            # into their minima) — steady-state frames only
-            geo_n=0 if is_reinit else geo_n,
-            geo_groups=(tuple(c.geo_groups)
-                        if geo_n and not is_reinit else ()),
-            geo_iters=c.geo_iters, geo_sub=c.geo_sub,
-            geo_min=consts["geo_min"], geo_gate=consts["geo_gate"],
             sel_walk=float(c.selective_walk),
             # no valid prior pose during a cold (re)init -> gate off; a
             # GATED reinit (recent loss, last-known depth trusted) keeps
@@ -1403,8 +1242,8 @@ class FusedTracker:
         c = self.config
         consts = self._consts()
         window = None
-        pad_n, boost_n, wild_n, geo_n = (self._pad_n, self._boost_n,
-                                         self._wild_n, self._geo_n)
+        pad_n, boost_n, wild_n = (self._pad_n, self._boost_n,
+                                  self._wild_n)
         if c.seg_window is not None and self.rtree is not None:
             Hs, Ws = self._proc_size
             hs = self._host_stride
@@ -1412,7 +1251,7 @@ class FusedTracker:
                       min(c.seg_window[1] // hs, Ws))
             dsub = self._data_substride
             n_data = (-(-window[0] // dsub)) * (-(-window[1] // dsub))
-            pad_n, boost_n, wild_n, geo_n = self._fit_bucket(n_data)
+            pad_n, boost_n, wild_n = self._fit_bucket(n_data)
         return fused_frames_batch(
             self._ctx, self._ctx_fit, self._tree, self.model.parents,
             xyz_b, labels_b, self._bg, self._intrin4, self._theta,
@@ -1444,14 +1283,6 @@ class FusedTracker:
             fit_sorted=self._fit_sorted,
             wild_n=wild_n, wild_gate=consts["wild_gate"],
             wild_weight=consts["wild_weight"],
-            reverse_groups=(tuple(c.reverse_groups)
-                            if self._glut is not None and
-                            self.rtree is not None else ()),
-            rev_weight=consts["rev_weight"], rev_gate=consts["rev_gate"],
-            rev_min=consts["rev_min"],
-            geo_n=geo_n, geo_groups=tuple(c.geo_groups) if geo_n else (),
-            geo_iters=c.geo_iters, geo_sub=c.geo_sub,
-            geo_min=consts["geo_min"], geo_gate=consts["geo_gate"],
             sel_walk=float(c.selective_walk),
             body_gate=consts["body_gate"],
             # batch frames share one compiled scan: refine every frame

@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--no-batch", action="store_true",
                     help="use per-frame track_async for the throughput "
                          "pass instead of 8-frame batch dispatches")
+    ap.add_argument("--set", action="append", default=[],
+                    metavar="KEY=VAL", help="TrackerConfig override "
+                    "(repeatable), e.g. --set refine_every=1")
     args = ap.parse_args()
 
     if args.quick:
@@ -183,13 +186,21 @@ def main():
 
     from avatar_tpu.perception.partgroups import SMPL24_GROUP_LUT
 
-    cfg = TrackerConfig(data_interval=data_interval, min_points=min_points,
-                        frame_icp_iters=3, reinit_icp_iters=6,
-                        initial_icp_iters=7, iters_per_icp=4,
-                        label_conf_thresh=0.55,
-                        rtree_interval=3 if not args.quick else 2,
-                        part_groups=None if args.no_part_groups
-                        else tuple(SMPL24_GROUP_LUT))
+    cfg_kw = dict(data_interval=data_interval, min_points=min_points,
+                  frame_icp_iters=3, reinit_icp_iters=6,
+                  initial_icp_iters=7, iters_per_icp=4,
+                  label_conf_thresh=0.55,
+                  rtree_interval=3 if not args.quick else 2,
+                  part_groups=None if args.no_part_groups
+                  else tuple(SMPL24_GROUP_LUT))
+    for ov in args.set:
+        k, v = ov.split("=", 1)
+        try:
+            v = eval(v)  # numeric / tuple literals
+        except Exception:
+            pass
+        cfg_kw[k] = v
+    cfg = TrackerConfig(**cfg_kw)
     tracker = FusedTracker(model, intrin, (H, W), rtree=forest, config=cfg)
     tracker.set_background(bg_depth)
 
