@@ -45,6 +45,16 @@ from avatar_tpu.train import synth
 BACKGROUND_DEPTH = 20.0
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _cache_write(cache: jnp.ndarray, slab: jnp.ndarray,
+                 start: jnp.ndarray) -> jnp.ndarray:
+    """In-place fill of one batch slab into the preallocated uint16-mm
+    frame cache.  Donating the cache keeps peak HBM at one cache copy —
+    a list-of-chunks + concatenate peaks at 2x (15 GB at 4096x720x1280),
+    which OOMs a 16 GB chip."""
+    return jax.lax.dynamic_update_slice(cache, slab, (start, 0, 0))
+
+
 class Samples(NamedTuple):
     """Per-image fixed-size pixel samples ([N_img, S] each)."""
     x: jnp.ndarray      # int32
@@ -469,6 +479,12 @@ class ForestTrainer:
         on_device = self.frame_source is None
         xs, ys, ps, vs = [], [], [], []
         cache = []
+        if on_device:
+            # preallocated + donated in-place fill: one cache copy is the
+            # HBM ceiling for training scale (uint16 mm = camera-native
+            # 1 mm precision at half the bytes of f32)
+            self._depth_cache = jnp.zeros(
+                (self.num_images, self.H, self.W), jnp.uint16)
         key = jax.random.PRNGKey(self.seed ^ 0x5EED)
         for start in range(0, self.num_images, self.B):
             ids = np.arange(start, min(start + self.B, self.num_images))
@@ -483,11 +499,10 @@ class ForestTrainer:
                 ys.append(by[: len(ids)])
                 ps.append(bp[: len(ids)])
                 vs.append(bv[: len(ids)])
-                # cache as uint16 millimeters: camera-native precision
-                # (1 mm, below sensor noise) at half the HBM of f32 —
-                # the cache is the training-scale memory ceiling
-                cache.append(jnp.round(
-                    depth[: len(ids)] * 1000.0).astype(jnp.uint16))
+                slab = jnp.round(
+                    depth[: len(ids)] * 1000.0).astype(jnp.uint16)
+                self._depth_cache = _cache_write(
+                    self._depth_cache, slab, jnp.int32(start))
             else:
                 depth_np = np.asarray(depth)
                 mask_np = np.asarray(mask)
@@ -505,7 +520,6 @@ class ForestTrainer:
                 print(f"[forest] rendered {start + len(ids)}"
                       f"/{self.num_images} images")
         if on_device:
-            self._depth_cache = jnp.concatenate(cache, axis=0)
             self.samples = Samples(
                 x=jnp.concatenate(xs), y=jnp.concatenate(ys),
                 part=jnp.concatenate(ps), valid=jnp.concatenate(vs))
@@ -609,6 +623,9 @@ class ForestTrainer:
     def _rebuild_depth_cache(self):
         on_device = self.frame_source is None
         caches = []
+        if on_device:
+            self._depth_cache = jnp.zeros(
+                (self.num_images, self.H, self.W), jnp.uint16)
         for start in range(0, self.num_images, self.B):
             ids = np.arange(start, min(start + self.B, self.num_images))
             ids_pad = np.pad(ids, (0, self.B - len(ids)), mode="edge")
@@ -617,8 +634,10 @@ class ForestTrainer:
                 # keep the slab on device: a f32 [B,H,W] download + uint16
                 # re-upload per batch is ~2 GB of needless link traffic at
                 # 512 imgs (catastrophic over the remote tunnel)
-                caches.append(jnp.round(
-                    depth[: len(ids)] * 1000.0).astype(jnp.uint16))
+                slab = jnp.round(
+                    depth[: len(ids)] * 1000.0).astype(jnp.uint16)
+                self._depth_cache = _cache_write(
+                    self._depth_cache, slab, jnp.int32(start))
             else:
                 caches.append(np.round(
                     np.asarray(depth)[: len(ids)] * 1000.0)
@@ -626,9 +645,7 @@ class ForestTrainer:
             if self.verbose and (start // self.B) % 8 == 0:
                 print(f"[forest] re-rendered {start + len(ids)}"
                       f"/{self.num_images} images (resume)")
-        if on_device:
-            self._depth_cache = jnp.concatenate(caches, axis=0)
-        else:
+        if not on_device:
             self._set_depth_cache(np.concatenate(caches, axis=0))
 
     def _cache_slab(self, sl) -> jnp.ndarray:
