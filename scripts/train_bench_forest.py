@@ -37,6 +37,12 @@ def main():
                     "writes the group LUT as the .partmap sidecar")
     ap.add_argument("--balance", type=float, default=0.5,
                     help="per-class pixel-sampling balance exponent")
+    ap.add_argument("--train-stride", type=int, default=1,
+                    help="render/train at this pixel stride (the tracker "
+                    "reads the forest at rtree_interval=3, so stride 3 "
+                    "trains at the exact deployment grid; 9x less HBM and "
+                    "raster work per image). Probe offsets export in "
+                    "full-res pixel units regardless (.srtr semantics).")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -50,6 +56,10 @@ def main():
     H, W = 720, 1280
     intrin = CameraIntrin(fx=606.438, fy=606.351, cx=637.294, cy=366.992)
     model = synthetic_model(detail=6)
+    ts = args.train_stride
+    tH, tW = (H + ts - 1) // ts, (W + ts - 1) // ts
+    tintrin = CameraIntrin(fx=intrin.fx / ts, fy=intrin.fy / ts,
+                           cx=intrin.cx / ts, cy=intrin.cy / ts)
 
     part_map = None
     num_parts = 24
@@ -73,16 +83,22 @@ def main():
               file=sys.stderr)
         t0 = time.time()
         trainer = ForestTrainer(
-            model, intrin, (H, W), num_parts=num_parts, part_map=part_map,
-            num_images=args.images,
+            model, tintrin, (tH, tW), num_parts=num_parts,
+            part_map=part_map, num_images=args.images,
             num_points_per_image=args.points, num_features=args.features,
             num_features_filtered=args.filtered,
-            max_probe_offset=args.probe, min_samples=args.min_samples,
-            max_tree_depth=args.depth, image_batch=8,
+            max_probe_offset=args.probe / ts, min_samples=args.min_samples,
+            max_tree_depth=args.depth, image_batch=8 * ts * ts,
             seed=args.seed + 71 * t, verbose=True,
             sample_balance=args.balance,
             checkpoint_path=path + ".ckpt")
         fd = trainer.train(resume_from=path + ".ckpt")
+        if ts != 1:
+            # store probe offsets in full-res pixel units (.srtr semantics:
+            # RTree.cpp scales u,v by depth at the full camera grid; the
+            # tracker divides by its own stride at load)
+            fd.u = np.asarray(fd.u) * float(ts)
+            fd.v = np.asarray(fd.v) * float(ts)
         tree = RTree(num_parts)
         tree.set_forest(fd)
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
