@@ -310,12 +310,22 @@ def main():
         _lab_b = _jn.stack([_lab0] * BATCH)
         _, _dg, _thf, _ = tracker._run_batch(_xyz_b, _lab_b, _steps)
         _jx.block_until_ready(_dg)
-        _t0 = time.perf_counter()
-        _NREP = 4
-        for _ in range(_NREP):
-            _, _dg, _thf, _ = tracker._run_batch(_xyz_b, _lab_b, _steps)
-        _jx.block_until_ready(_dg)
-        device_ms = (time.perf_counter() - _t0) / (_NREP * BATCH) * 1e3
+        # dispatches queue asynchronously, so the final sync pays the
+        # tunnel round trip ONCE per timed loop; amortize it over enough
+        # frames (NREP x BATCH) that the reported figure is device time,
+        # not residual link tax (28 ms RTT / 32 frames would still be
+        # ~0.9 ms/frame of non-device time at NREP=4).  Best of 3 loops:
+        # the tunnel imposes 20-30% run-to-run variance.
+        _NREP = 12
+        device_ms = np.inf
+        for _ in range(3):
+            _t0 = time.perf_counter()
+            for _ in range(_NREP):
+                _, _dg, _thf, _ = tracker._run_batch(_xyz_b, _lab_b, _steps)
+            _jx.block_until_ready(_dg)
+            device_ms = min(device_ms,
+                            (time.perf_counter() - _t0) /
+                            (_NREP * BATCH) * 1e3)
     else:
         _o = tracker._run(_xyz, _lab0, _steps)
         _jx.block_until_ready(_o.host_diag)

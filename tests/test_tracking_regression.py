@@ -7,9 +7,14 @@ in the fit, correspondence, or tracking state machine fails CI loudly
 instead of only drifting the bench numbers.  Reference anchor: the
 optim.cpp round-trip idea (optim.cpp:18-156) extended to a sequence.
 
-Measured baseline at this configuration (CPU f32): joint_err ~13.5 mm,
-vertex_rmse ~21.6 mm.  Ceilings are ~1.8x to absorb platform noise while
-still catching the 2x+ regressions that matter.
+Measured baseline at this configuration (CPU f32): joint_err ~20.9 mm,
+vertex_rmse ~32.8 mm (re-measured round 4; the config's operating point
+moved when the full-bench defaults were retuned in round 3 — plane_weight
+2.0 / beta_temp 0.3 are each individually optimal here too, verified by
+single-knob reversion probes).  Ceilings are ~1.15x measured, so a real
+regression fails CI while f32 platform noise does not.  The production
+operating point is gated by the committed TPU bench artifacts
+(data/bench_r04_selwalk.json: joint 11.0 mm / vertex 16.3 mm at 720p).
 """
 
 import numpy as np
@@ -76,6 +81,8 @@ def test_quick_sequence_joint_error_ceiling():
 
     joint_err_mm = float(np.mean(errs[1:]) * 1e3)
     vertex_rmse_mm = float(np.mean(vrms[1:]) * 1e3)
-    assert joint_err_mm < 25.0, f"joint error regressed: {joint_err_mm:.1f}mm"
-    assert vertex_rmse_mm < 40.0, \
+    print(f"\n[gate] joint_err={joint_err_mm:.2f}mm "
+          f"vertex_rmse={vertex_rmse_mm:.2f}mm")
+    assert joint_err_mm < 24.0, f"joint error regressed: {joint_err_mm:.1f}mm"
+    assert vertex_rmse_mm < 38.0, \
         f"vertex RMSE regressed: {vertex_rmse_mm:.1f}mm"
