@@ -1307,9 +1307,6 @@ class FusedTracker:
         device in ``self.batch_thetas`` (a Theta pytree with a leading
         batch axis).
         """
-        from avatar_tpu.tracking import TrackResult
-
-        c = self.config
         if not frames:
             return []
         if self.reinit:
@@ -1319,6 +1316,21 @@ class FusedTracker:
                 frames[1:], labels_override[1:]
                 if labels_override is not None else None)
             return [head] + rest
+        pending = self._batch_dispatch(frames, labels_override)
+        results, self.batch_thetas = self._batch_resolve(pending)
+        return results
+
+    def _batch_dispatch(self, frames, labels_override):
+        """Upload + dispatch one frame batch; returns a pending record.
+
+        The device-side pose chain (self._theta) advances immediately with
+        the dispatched batch's final pose, so the NEXT batch can be
+        dispatched before this one finishes — the core of the pipelined
+        mode (reference analogue: the capture thread's producer/consumer
+        double buffer, DepthCamera.cpp:24-95,142-187, generalized to whole
+        batches in flight).
+        """
+        c = self.config
         deps = []
         labs = []
         for i, f in enumerate(frames):
@@ -1340,8 +1352,19 @@ class FusedTracker:
                                                         n_steps)
         self._theta = theta_f
         self.com_pre = com_f
-        self.batch_thetas = thetas
-        dn = np.asarray(diags)                  # ONE device->host copy
+        # start the packed device->host diagnostics copy now so resolving
+        # this batch later (after the next batch is already in flight)
+        # costs no extra link round trip
+        if hasattr(diags, "copy_to_host_async"):
+            diags.copy_to_host_async()
+        return dict(diags=diags, thetas=thetas, dep_last=deps[-1])
+
+    def _batch_resolve(self, pending):
+        """Host-side result processing for one dispatched batch."""
+        from avatar_tpu.tracking import TrackResult
+
+        c = self.config
+        dn = np.asarray(pending["diags"])       # ONE device->host copy
         results = []
         min_needed = c.min_points / (c.data_interval ** 2)
         for b in range(dn.shape[0]):
@@ -1366,8 +1389,48 @@ class FusedTracker:
             self._log_metrics(results[-1])
         if not self.reinit:
             self._limb_recovery(unpack_diag(dn[-1], self.num_parts),
-                                deps[-1])
-        return results
+                                pending["dep_last"])
+        return results, pending["thetas"]
+
+    def track_batch_async(self, frames, labels_override=None):
+        """Pipelined track_batch: dispatch THIS batch, resolve the
+        PREVIOUS one.
+
+        Steady-state cost per batch is max(host prep + upload, device
+        compute) instead of their sum: while batch k computes on device,
+        batch k+1's frames stride, stack, and stream up the link.  Returns
+        a list of (results, thetas) pairs for every batch resolved by this
+        call — usually one (the previous batch), empty on the first call,
+        and possibly two when a tracking loss forces the pipeline to drain
+        and reinitialize synchronously.  Loss detection lags one batch
+        (exactly like track_async's one-frame lag); ``flush_batches()``
+        drains the final batch.
+        """
+        if not frames:
+            return []
+        q = getattr(self, "_batch_q", None)
+        if q is None:
+            q = self._batch_q = []
+        resolved = []
+        if self.reinit:
+            # drain the pipeline, then run the reinit path synchronously
+            resolved.extend(self.flush_batches())
+            res = self.track_batch(frames, labels_override)
+            resolved.append((res, self.batch_thetas))
+            return resolved
+        q.append(self._batch_dispatch(frames, labels_override))
+        if len(q) > 1:
+            resolved.append(self._batch_resolve(q.pop(0)))
+        return resolved
+
+    def flush_batches(self):
+        """Resolve all in-flight batches from track_batch_async; returns
+        their (results, thetas) pairs."""
+        q = getattr(self, "_batch_q", None)
+        out = []
+        while q:
+            out.append(self._batch_resolve(q.pop(0)))
+        return out
 
     def track_async(self, frame, labels_override: Optional[np.ndarray] = None):
         """Throughput-mode tracking: dispatches this frame immediately

@@ -225,6 +225,144 @@ def sample_pixels_device(depth, mask, S: int, num_parts: int, balance,
     return x, y, part, valid
 
 
+# ---------------------------------------------------------------------------
+# sample-major ("flat") level passes
+#
+# The batch-major passes above scan every cached image for every node chunk,
+# so a level with C chunks costs C full sweeps even though each sample
+# belongs to exactly one chunk.  The flat passes instead gather the chunk's
+# LIVE samples (host-selected positions into the [N_img, S] sample arrays)
+# and probe the flattened HBM frame cache directly: per-level cost is
+# live_samples x features, independent of frontier size — the deep levels
+# that dominate a depth-17+ tree cost the same as level 0.  Counts are
+# integer-valued f32 scatter-adds, so flat and batch-major dense passes
+# produce bitwise-identical histograms (addition of exact integers is
+# order-independent), hence identical split decisions.
+# ---------------------------------------------------------------------------
+
+
+def _flat_scores(cache_flat, H: int, W: int, pos, sx, sy, live, fu, fv):
+    """Depth-probe scores for selected samples: [M, F].
+
+    cache_flat: [N_img*H*W] uint16 millimeters (or f32 meters); pos [M]
+    flat image index (sample's image id * H*W); sx/sy [M]; live [M] bool;
+    fu/fv [F,2] shared pool or [NC,F,2] per-node sets gathered through
+    node_local (pass node_local via ``live``'s companion below).
+    """
+    HW = H * W
+
+    def rd(idx):
+        v = cache_flat[idx]
+        if v.dtype == jnp.uint16:
+            v = v.astype(jnp.float32) * 1e-3
+        return v
+
+    z = rd(pos + sy * W + sx)                                   # [M]
+    z = jnp.where(live & (z > 0), z, 1.0)
+
+    def probe(off):                                             # [M,F,2]
+        px = sx[:, None] + off[..., 0]
+        py = sy[:, None] + off[..., 1]
+        inside = (px >= 0) & (px < W) & (py >= 0) & (py < H)
+        idx = pos[:, None] + jnp.clip(py * W + px, 0, HW - 1)
+        pz = rd(idx)
+        pz = jnp.where(pz == 0.0, BACKGROUND_DEPTH, pz)
+        return jnp.where(inside, pz, BACKGROUND_DEPTH)
+
+    u_off = jnp.round(fu / z[:, None, None]).astype(jnp.int32)
+    v_off = jnp.round(fv / z[:, None, None]).astype(jnp.int32)
+    return probe(u_off) - probe(v_off)                          # [M,F]
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "n_chunk"))
+def pass_minmax_flat(cache_flat, pos, sx, sy, node_local, fu, fv,
+                     H: int, W: int, n_chunk: int):
+    """Per (chunk-node, feature) score min/max over selected samples."""
+    F = fu.shape[-2]
+    live = node_local >= 0
+    if fu.ndim == 3:
+        nl = jnp.clip(node_local, 0, fu.shape[0] - 1)
+        fu = fu[nl]                                             # [M,F,2]
+        fv = fv[nl]
+    s = _flat_scores(cache_flat, H, W, pos, sx, sy, live, fu, fv)
+    nl = jnp.where(live, node_local, n_chunk)
+    idx = (nl[:, None] * F + jnp.arange(F)[None]).reshape(-1)
+    big = jnp.float32(3e38)
+    s_min = jnp.where(live[:, None], s, big).reshape(-1)
+    s_max = jnp.where(live[:, None], s, -big).reshape(-1)
+    smin = jnp.full((n_chunk + 1) * F, big).at[idx].min(s_min)
+    smax = jnp.full((n_chunk + 1) * F, -big).at[idx].max(s_max)
+    return (smin[: n_chunk * F].reshape(n_chunk, F),
+            smax[: n_chunk * F].reshape(n_chunk, F))
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "n_chunk",
+                                             "n_buckets", "n_parts"))
+def pass_counts_flat(cache_flat, pos, sx, sy, part, node_local, fu, fv,
+                     smin, smax, H: int, W: int, n_chunk: int,
+                     n_buckets: int, n_parts: int):
+    """Histogram counts [n_chunk, F, n_buckets, n_parts] over selected
+    samples."""
+    F = fu.shape[-2]
+    live = node_local >= 0
+    if fu.ndim == 3:
+        nlc = jnp.clip(node_local, 0, fu.shape[0] - 1)
+        fu = fu[nlc]
+        fv = fv[nlc]
+    s = _flat_scores(cache_flat, H, W, pos, sx, sy, live, fu, fv)
+    nl = jnp.where(live, node_local, n_chunk)
+    nl_safe = jnp.minimum(nl, n_chunk - 1)
+    mn = smin[nl_safe]                                          # [M,F]
+    rg = (smax - smin)[nl_safe]
+    bucket = jnp.clip(((s - mn) / jnp.maximum(rg, 1e-6) *
+                       n_buckets).astype(jnp.int32), 0, n_buckets - 1)
+    f_ids = jnp.arange(F, dtype=jnp.int32)[None]
+    idx = ((nl[:, None] * F + f_ids) * n_buckets + bucket) * n_parts + \
+        part[:, None]
+    idx = jnp.where(live[:, None], idx, n_chunk * F * n_buckets * n_parts)
+    counts = jnp.zeros(n_chunk * F * n_buckets * n_parts + 1, jnp.float32)
+    counts = counts.at[idx.reshape(-1)].add(1.0)
+    return counts[:-1].reshape(n_chunk, F, n_buckets, n_parts)
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W"))
+def pass_assign_flat(cache_flat, pos, sx, sy, node, best_u, best_v,
+                     best_thresh, lchild, rchild, is_split,
+                     H: int, W: int):
+    """Route selected samples through their node's chosen split: [M]."""
+    nd = jnp.maximum(node, 0)
+    fu = best_u[nd][:, None]                                    # [M,1,2]
+    fv = best_v[nd][:, None]
+    live = node >= 0
+    s = _flat_scores(cache_flat, H, W, pos, sx, sy, live, fu, fv)[:, 0]
+    child = jnp.where(s < best_thresh[nd], lchild[nd], rchild[nd])
+    return jnp.where(is_split[nd] & live, child, node)
+
+
+@functools.partial(jax.jit, static_argnames=("n_buckets",))
+def split_decide(counts, smin, smax, n_buckets: int):
+    """Per-node best split, fully on device.
+
+    Downloading the full [NC, F, T, P] count tensor to pick one (feature,
+    threshold) per node costs ~400 MB of link traffic per sweep at
+    node_chunk 4096; this reduces it to a handful of [NC]-sized vectors.
+    Returns (gain, f_best, thresh, score_range, n, part_hist).
+    """
+    gains, _ = split_gains(counts)                              # [NC,F,T-1]
+    NC, F, Tm1 = gains.shape
+    flat = gains.reshape(NC, F * Tm1)
+    best = jnp.argmax(flat, axis=1)
+    gain = jnp.take_along_axis(flat, best[:, None], 1)[:, 0]
+    f_best = (best // Tm1).astype(jnp.int32)
+    t_best = (best % Tm1).astype(jnp.int32)
+    mn = jnp.take_along_axis(smin, f_best[:, None], 1)[:, 0]
+    mx = jnp.take_along_axis(smax, f_best[:, None], 1)[:, 0]
+    thresh = mn + (mx - mn) * (t_best + 1).astype(jnp.float32) / n_buckets
+    part_hist = counts.sum(axis=(1, 2)) / F                     # [NC,P]
+    n = part_hist.sum(axis=1)
+    return gain, f_best, thresh, mx - mn, n, part_hist
+
+
 @functools.partial(jax.jit, static_argnames=())
 def split_gains(counts):
     """Entropy info gain over bucket prefix sums.
@@ -418,7 +556,8 @@ class ForestTrainer:
                  frame_source: Optional[FileFrameSource] = None,
                  num_features_filtered: int = 0,
                  filter_subsample: int = 4, filter_buckets: int = 8,
-                 feature_block: int = 256, sample_balance: float = 0.5):
+                 feature_block: int = 256, sample_balance: float = 0.5,
+                 pass_mode: str = "auto"):
         self.model = model
         self.H, self.W = image_size
         self.num_parts = num_parts
@@ -457,6 +596,23 @@ class ForestTrainer:
                 if num_images else frame_source.size()
         self._rng = np.random.default_rng(seed)
         self._panic = False
+        # pass_mode: "flat" (sample-major, single-device; deep levels cost
+        # the same as level 0) / "batch" (image-major; shards over a mesh)
+        # / "auto" (flat unless a mesh is given).  The flat passes index
+        # the flattened cache with int32, so huge caches fall back.
+        if pass_mode == "auto":
+            pass_mode = "batch" if mesh is not None else "flat"
+        if (pass_mode == "flat" and
+                self.num_images * self.H * self.W >= 2 ** 31):
+            pass_mode = "batch"
+        if mesh is not None and pass_mode == "flat":
+            raise ValueError("mesh training requires pass_mode='batch' "
+                             "(image batches shard over the mesh)")
+        self.pass_mode = pass_mode
+        # sample-block sizes for the flat passes (scores [BLK, F] and the
+        # probe index tensors bound peak memory)
+        self._blk_dense = 1 << 17
+        self._blk_filter = 1 << 16
 
     # -- data -----------------------------------------------------------------
 
@@ -661,16 +817,24 @@ class ForestTrainer:
         frontier = self.frontier
         depths = self.frontier_depth
         if self.verbose:
+            import time as _time
+
+            t0 = _time.time()
             print(f"[forest] level {self.level}: {len(frontier)} nodes, "
                   f"{int((self.node_of >= 0).sum())} live samples")
         new_frontier = []
         new_depths = []
+        process = (self._process_chunk_flat if self.pass_mode == "flat"
+                   else self._process_chunk)
         for c0 in range(0, len(frontier), self.node_chunk):
             chunk = frontier[c0:c0 + self.node_chunk]
             chunk_depths = depths[c0:c0 + self.node_chunk]
-            self._process_chunk(chunk, chunk_depths, new_frontier, new_depths)
+            process(chunk, chunk_depths, new_frontier, new_depths)
         self.frontier = new_frontier
         self.frontier_depth = new_depths
+        if self.verbose:
+            print(f"[forest] level {self.level} took "
+                  f"{_time.time() - t0:.0f}s")
 
     def _filter_features(self, node_local_np, fu_pool, fv_pool,
                          NC: int) -> np.ndarray:
@@ -781,51 +945,11 @@ class ForestTrainer:
                 node_local[sl], fu_j, fv_j,
                 smin_j, smax_j, NC, T, P)
 
-        gains_j, _ = split_gains(counts_j)
-        gains = np.asarray(gains_j)                             # [NC,F,T-1]
-        smin = np.asarray(smin_j)
-        smax = np.asarray(smax_j)
-        counts = np.asarray(counts_j)
-        totals = counts.sum(axis=(1, 2, 3)) / F                 # per node n
-        part_hist = counts.sum(axis=(1, 2)) / F                 # [NC,P]
-
-        # arrays indexed by global node id for reassignment
-        n_nodes_upper = len(self.tree.thresh) + 2 * NC + 2
-        bu = np.zeros((n_nodes_upper, 2), np.float32)
-        bv = np.zeros((n_nodes_upper, 2), np.float32)
-        bt = np.zeros(n_nodes_upper, np.float32)
-        bl = np.zeros(n_nodes_upper, np.int32)
-        br = np.zeros(n_nodes_upper, np.int32)
-        is_split = np.zeros(n_nodes_upper, bool)
-
-        for i, gid in enumerate(chunk):
-            n = totals[i]
-            depth_left = chunk_depths[i]
-            g = gains[i]
-            f_best, t_best = np.unravel_index(np.argmax(g), g.shape)
-            gain = g[f_best, t_best]
-            # leaf criteria (RTree.cpp:2506-2521 + zero-gain rule)
-            if (depth_left <= 1 or n <= self.min_samples or gain <= 1e-6 or
-                    smax[i, f_best] - smin[i, f_best] < 1e-9):
-                self.tree.make_leaf(gid, part_hist[i].astype(np.float64))
-                continue
-            thresh = (smin[i, f_best] +
-                      (smax[i, f_best] - smin[i, f_best]) *
-                      (t_best + 1) / self.T)
-            fu_i = fu[i, f_best] if fu.ndim == 3 else fu[f_best]
-            fv_i = fv[i, f_best] if fv.ndim == 3 else fv[f_best]
-            l, r = self.tree.make_split(gid, fu_i, fv_i, thresh)
-            bu[gid] = fu_i
-            bv[gid] = fv_i
-            bt[gid] = thresh
-            bl[gid] = l
-            br[gid] = r
-            is_split[gid] = True
-            new_frontier.extend([l, r])
-            new_depths.extend([depth_left - 1, depth_left - 1])
-
-        if not is_split.any():
+        split = self._decide_splits(chunk, chunk_depths, counts_j, smin_j,
+                                    smax_j, fu, fv, new_frontier, new_depths)
+        if split is None:
             return
+        bu, bv, bt, bl, br, is_split = split
 
         # reassignment pass
         for start in range(0, self.num_images, self.B):
@@ -841,6 +965,194 @@ class ForestTrainer:
             live = self.node_of[sl] >= 0
             block = self.node_of[sl]
             block[live] = upd[live]
+
+    # -- sample-major (flat) chunk processing -------------------------------
+
+    def _flat_sample_arrays(self):
+        if (getattr(self, "_sxf", None) is None or
+                self._sxf.shape[0] != self.samples.x.size):
+            self._sxf = self.samples.x.reshape(-1)
+            self._syf = self.samples.y.reshape(-1)
+            self._spf = self.samples.part.reshape(-1)
+        return self._sxf, self._syf, self._spf
+
+    def _flat_blocks(self, sel, nl, pos, blk: int):
+        """Fixed-size device blocks of the chunk's selected samples.
+
+        Padding keeps shapes static (one XLA program per block size);
+        padded rows carry node_local -1 and are masked inside the kernels.
+        """
+        sxf, syf, spf = self._flat_sample_arrays()
+        out = []
+        M = len(sel)
+        for b0 in range(0, M, blk):
+            b1 = min(b0 + blk, M)
+            n = b1 - b0
+            pad = blk - n
+            sidx = jnp.asarray(np.pad(sel[b0:b1], (0, pad)), jnp.int32)
+            nl_b = jnp.asarray(np.pad(nl[b0:b1], (0, pad),
+                                      constant_values=-1))
+            pos_b = jnp.asarray(np.pad(pos[b0:b1], (0, pad)))
+            out.append((pos_b, sxf[sidx], syf[sidx], spf[sidx], nl_b,
+                        n, slice(b0, b1)))
+        return out
+
+    def _filter_features_flat(self, cache_flat, blocks, NC: int):
+        """TrainerV2 filter stage over the flat sample blocks (sparse
+        score pass at 1/filter_subsample of the selected samples)."""
+        F = self._fu_pool.shape[0]
+        Ff = self.F_filtered
+        Ts, P = self.T_sparse, self.num_parts
+        # cap the feature block so the sparse count tensor stays < ~0.5 GB
+        Fb_cap = max(32, min(self.Fb, (1 << 27) // max(1, NC * Ts * P)))
+        gains_pool = np.zeros((NC, F), np.float32)
+        big = np.float32(3e38)
+        for fb in range(0, F, Fb_cap):
+            fu_b = jnp.asarray(self._fu_pool[fb:fb + Fb_cap])
+            fv_b = jnp.asarray(self._fv_pool[fb:fb + Fb_cap])
+            Fb = fu_b.shape[0]
+            smin = jnp.full((NC, Fb), big)
+            smax = jnp.full((NC, Fb), -big)
+            for pos_b, sx_b, sy_b, _, nl_b, _, _ in blocks:
+                mn, mx = pass_minmax_flat(
+                    cache_flat, pos_b, sx_b, sy_b, nl_b, fu_b, fv_b,
+                    self.H, self.W, NC)
+                smin = jnp.minimum(smin, mn)
+                smax = jnp.maximum(smax, mx)
+            counts = jnp.zeros((NC, Fb, Ts, P))
+            for pos_b, sx_b, sy_b, part_b, nl_b, _, _ in blocks:
+                counts = counts + pass_counts_flat(
+                    cache_flat, pos_b, sx_b, sy_b, part_b, nl_b, fu_b,
+                    fv_b, smin, smax, self.H, self.W, NC, Ts, P)
+            g, _ = split_gains(counts)
+            gains_pool[:, fb:fb + Fb] = np.asarray(jnp.max(g, axis=2))
+        return np.argsort(-gains_pool, axis=1)[:, :Ff]
+
+    def _process_chunk_flat(self, chunk, chunk_depths, new_frontier,
+                            new_depths):
+        if isinstance(self._depth_cache, np.ndarray):
+            # host-resident cache: no device array to flatten
+            return self._process_chunk(chunk, chunk_depths, new_frontier,
+                                       new_depths)
+        NC = len(chunk)
+        F, T, P = self.F, self.T, self.num_parts
+        gmap = np.full(len(self.tree.thresh) + 1, -1, np.int32)
+        gmap[np.asarray(chunk, np.int32)] = np.arange(NC, dtype=np.int32)
+        node_local_np = gmap[np.maximum(self.node_of, 0)]
+        node_local_np[self.node_of < 0] = -1
+
+        nl_flat = node_local_np.ravel()
+        sel = np.nonzero(nl_flat >= 0)[0].astype(np.int32)
+        nl = nl_flat[sel].astype(np.int32)
+        pos = ((sel // self.S).astype(np.int64) *
+               (self.H * self.W)).astype(np.int32)
+        cache_flat = self._depth_cache.reshape(-1)
+
+        # same keyed feature pools as the batch path (checkpoint-resume
+        # determinism; see _process_chunk)
+        frng = np.random.default_rng(
+            (self.seed, self.level, int(chunk[0])))
+        self._fu_pool = frng.uniform(-self.max_probe, self.max_probe,
+                                     (F, 2)).astype(np.float32)
+        self._fv_pool = frng.uniform(-self.max_probe, self.max_probe,
+                                     (F, 2)).astype(np.float32)
+
+        if self.F_filtered:
+            fblocks = self._flat_blocks(sel[::self.filter_subsample],
+                                        nl[::self.filter_subsample],
+                                        pos[::self.filter_subsample],
+                                        self._blk_filter)
+            top = self._filter_features_flat(cache_flat, fblocks, NC)
+            del fblocks
+            fu = self._fu_pool[top]                       # [NC, Ff, 2]
+            fv = self._fv_pool[top]
+            F = self.F_filtered
+        else:
+            fu, fv = self._fu_pool, self._fv_pool
+        fu_j = jnp.asarray(fu)
+        fv_j = jnp.asarray(fv)
+
+        blocks = self._flat_blocks(sel, nl, pos, self._blk_dense)
+        big = np.float32(3e38)
+        smin_j = jnp.full((NC, F), big)
+        smax_j = jnp.full((NC, F), -big)
+        for pos_b, sx_b, sy_b, _, nl_b, _, _ in blocks:
+            mn, mx = pass_minmax_flat(cache_flat, pos_b, sx_b, sy_b, nl_b,
+                                      fu_j, fv_j, self.H, self.W, NC)
+            smin_j = jnp.minimum(smin_j, mn)
+            smax_j = jnp.maximum(smax_j, mx)
+        counts_j = jnp.zeros((NC, F, T, P))
+        for pos_b, sx_b, sy_b, part_b, nl_b, _, _ in blocks:
+            counts_j = counts_j + pass_counts_flat(
+                cache_flat, pos_b, sx_b, sy_b, part_b, nl_b, fu_j, fv_j,
+                smin_j, smax_j, self.H, self.W, NC, T, P)
+
+        split = self._decide_splits(chunk, chunk_depths, counts_j, smin_j,
+                                    smax_j, fu, fv, new_frontier, new_depths)
+        if split is None:
+            return
+        bu, bv, bt, bl, br, is_split = split
+        bu_j, bv_j, bt_j = (jnp.asarray(bu), jnp.asarray(bv),
+                            jnp.asarray(bt))
+        bl_j, br_j, isp_j = (jnp.asarray(bl), jnp.asarray(br),
+                             jnp.asarray(is_split))
+        node_sel = self.node_of.ravel()[sel]
+        out = np.empty(len(sel), np.int32)
+        blkd = self._blk_dense
+        for pos_b, sx_b, sy_b, _, nl_b, n, sl_ in blocks:
+            node_b = jnp.asarray(np.pad(node_sel[sl_], (0, blkd - n),
+                                        constant_values=-1))
+            child = pass_assign_flat(cache_flat, pos_b, sx_b, sy_b, node_b,
+                                     bu_j, bv_j, bt_j, bl_j, br_j, isp_j,
+                                     self.H, self.W)
+            out[sl_] = np.asarray(child)[:n]
+        self.node_of.reshape(-1)[sel] = out
+
+    def _decide_splits(self, chunk, chunk_depths, counts_j, smin_j, smax_j,
+                       fu, fv, new_frontier, new_depths):
+        """Pick per-node best splits (device argmax via split_decide, tiny
+        downloads) and update the host-side tree; returns the split arrays
+        for the reassignment pass or None when every node became a leaf."""
+        gain_j, fbest_j, thresh_j, rng_j, n_j, hist_j = split_decide(
+            counts_j, smin_j, smax_j, self.T)
+        gain = np.asarray(gain_j)
+        f_best = np.asarray(fbest_j)
+        thresh_a = np.asarray(thresh_j)
+        rngs = np.asarray(rng_j)
+        totals = np.asarray(n_j)
+        part_hist = np.asarray(hist_j)
+
+        # arrays indexed by global node id for reassignment
+        n_nodes_upper = len(self.tree.thresh) + 2 * len(chunk) + 2
+        bu = np.zeros((n_nodes_upper, 2), np.float32)
+        bv = np.zeros((n_nodes_upper, 2), np.float32)
+        bt = np.zeros(n_nodes_upper, np.float32)
+        bl = np.zeros(n_nodes_upper, np.int32)
+        br = np.zeros(n_nodes_upper, np.int32)
+        is_split = np.zeros(n_nodes_upper, bool)
+
+        for i, gid in enumerate(chunk):
+            depth_left = chunk_depths[i]
+            # leaf criteria (RTree.cpp:2506-2521 + zero-gain rule)
+            if (depth_left <= 1 or totals[i] <= self.min_samples or
+                    gain[i] <= 1e-6 or rngs[i] < 1e-9):
+                self.tree.make_leaf(gid, part_hist[i].astype(np.float64))
+                continue
+            fu_i = fu[i, f_best[i]] if fu.ndim == 3 else fu[f_best[i]]
+            fv_i = fv[i, f_best[i]] if fv.ndim == 3 else fv[f_best[i]]
+            l, r = self.tree.make_split(gid, fu_i, fv_i, thresh_a[i])
+            bu[gid] = fu_i
+            bv[gid] = fv_i
+            bt[gid] = thresh_a[i]
+            bl[gid] = l
+            br[gid] = r
+            is_split[gid] = True
+            new_frontier.extend([l, r])
+            new_depths.extend([depth_left - 1, depth_left - 1])
+
+        if not is_split.any():
+            return None
+        return bu, bv, bt, bl, br, is_split
 
 
 # ---------------------------------------------------------------------------

@@ -260,15 +260,21 @@ def main():
             tracked = 0
             t_all0 = time.perf_counter()
             if use_batch:
-                # max-throughput mode: 8 frames per device dispatch
+                # max-throughput mode: 8 frames per device dispatch,
+                # pipelined two deep — batch k+1's frames stride/stack/
+                # upload while batch k computes on device, so steady-state
+                # cost is max(upload, device) instead of their sum
                 batches = []
                 for i in range(0, n_frames, BATCH):
                     chunk = frames[i:i + BATCH]
-                    res = tracker.track_batch(
-                        [s for s, m in chunk],
-                        None if use_forest else [m for s, m in chunk])
+                    for res, bt in tracker.track_batch_async(
+                            [s for s, m in chunk],
+                            None if use_forest else [m for s, m in chunk]):
+                        tracked += sum(1 for r in res if r.ok)
+                        batches.append((len(res), bt))
+                for res, bt in tracker.flush_batches():
                     tracked += sum(1 for r in res if r.ok)
-                    batches.append((len(chunk), tracker.batch_thetas))
+                    batches.append((len(res), bt))
                 wall = time.perf_counter() - t_all0
                 for nb, bt in batches:
                     for k in range(nb):
@@ -318,14 +324,15 @@ def main():
         # the tunnel imposes 20-30% run-to-run variance.
         _NREP = 12
         device_ms = np.inf
+        _dms = []
         for _ in range(3):
             _t0 = time.perf_counter()
             for _ in range(_NREP):
                 _, _dg, _thf, _ = tracker._run_batch(_xyz_b, _lab_b, _steps)
             _jx.block_until_ready(_dg)
-            device_ms = min(device_ms,
-                            (time.perf_counter() - _t0) /
-                            (_NREP * BATCH) * 1e3)
+            _dms.append((time.perf_counter() - _t0) / (_NREP * BATCH) * 1e3)
+            device_ms = min(device_ms, _dms[-1])
+        device_ms_mean = float(np.mean(_dms))
     else:
         _o = tracker._run(_xyz, _lab0, _steps)
         _jx.block_until_ready(_o.host_diag)
@@ -336,6 +343,7 @@ def main():
             tracker._theta = _o.theta
         _jx.block_until_ready(_o.host_diag)
         device_ms = (time.perf_counter() - _t0) / _NREP * 1e3
+        device_ms_mean = device_ms
     _t0 = time.perf_counter()
     for _ in range(10):
         _jn.asarray(_dn).block_until_ready()
@@ -486,6 +494,10 @@ def main():
         "vertex_rmse_mm": round(vertex_rmse_mm, 2),
         "fit_rmse_mm": round(fit_rmse_mm, 2),
         "device_ms": round(float(device_ms), 2),
+        # min over 3 timing loops (the headline; the remote tunnel imposes
+        # 20-30% run-to-run variance) AND their mean, per advisor guidance:
+        # both are reported so methodology changes stay auditable
+        "device_ms_mean": round(float(device_ms_mean), 2),
         "upload_ms": round(float(upload_ms), 2),
         "device_fps": round(1e3 / max(float(device_ms), 1e-6), 1),
         "frames": n_frames,

@@ -133,6 +133,27 @@ def test_checkpoint_resume_mid_training(model, tmp_path):
                                atol=1e-6)
 
 
+def test_flat_matches_batch_passes(model):
+    """The sample-major ("flat") level passes must grow the SAME tree as
+    the image-major ("batch") passes: probe scores are elementwise
+    identical, min/max are order-independent, and histogram counts are
+    exact integers in f32 (order-independent addition), so every split
+    decision matches bitwise."""
+    kwargs = dict(num_parts=24, num_images=16, num_points_per_image=200,
+                  num_features=24, max_probe_offset=60.0, min_samples=16,
+                  max_tree_depth=6, image_batch=8, seed=7)
+    fd_f = ForestTrainer(model, INTRIN, (H, W), pass_mode="flat",
+                         **kwargs).train()
+    fd_b = ForestTrainer(model, INTRIN, (H, W), pass_mode="batch",
+                         **kwargs).train()
+    np.testing.assert_array_equal(fd_f.lnode, fd_b.lnode)
+    np.testing.assert_array_equal(fd_f.leafid, fd_b.leafid)
+    np.testing.assert_array_equal(fd_f.u, fd_b.u)
+    np.testing.assert_array_equal(fd_f.v, fd_b.v)
+    np.testing.assert_allclose(fd_f.thresh, fd_b.thresh, rtol=1e-6)
+    np.testing.assert_allclose(fd_f.leaf_data, fd_b.leaf_data, atol=1e-7)
+
+
 def test_train_from_files(model, tmp_path):
     """File-dataset training (reference FileDataSource path): write rendered
     frames to disk, train from the directories, check the tree segments."""
