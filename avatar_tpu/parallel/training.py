@@ -88,6 +88,58 @@ def sharded_count_step(mesh: Mesh, parents, src: synth.SynthSource,
     return fn(image_ids, sx, sy, part, valid, node_local)
 
 
+def sharded_pass_minmax(mesh: Mesh, depth, sx, sy, valid, node_local, fu,
+                        fv, n_chunk: int, axis: str = "data"):
+    """Mesh-sharded per-(node, feature) score min/max over one image batch:
+    each chip scores its image shard, then pmin/pmax over ICI replicate the
+    result.  Bitwise-equal to the single-device pass (min/max are
+    order-independent)."""
+
+    def local(d, sx_, sy_, v_, nl_, fu_, fv_):
+        mn, mx = forest_mod.pass_minmax(d, sx_, sy_, v_, nl_, fu_, fv_,
+                                        n_chunk)
+        return jax.lax.pmin(mn, axis), jax.lax.pmax(mx, axis)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(axis),) * 5 + (P(), P()),
+                   out_specs=(P(), P()))
+    return jax.jit(fn)(depth, sx, sy, valid, node_local, fu, fv)
+
+
+def sharded_pass_counts(mesh: Mesh, depth, sx, sy, part, valid, node_local,
+                        fu, fv, smin, smax, n_chunk: int, n_buckets: int,
+                        n_parts: int, axis: str = "data"):
+    """Mesh-sharded histogram counts: per-chip partial counts psum over ICI
+    — the all-reduce analogue of TrainerV2's per-thread accumulate-then-
+    mutex-add (RTree.cpp:1700-1704).  Counts are integer-valued f32, so the
+    reduction is exact and the trained tree is identical to single-device."""
+
+    def local(d, sx_, sy_, part_, v_, nl_, fu_, fv_, mn_, mx_):
+        c = forest_mod.pass_counts(d, sx_, sy_, part_, v_, nl_, fu_, fv_,
+                                   mn_, mx_, n_chunk, n_buckets, n_parts)
+        return jax.lax.psum(c, axis)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(axis),) * 6 + (P(),) * 4, out_specs=P())
+    return jax.jit(fn)(depth, sx, sy, part, valid, node_local, fu, fv,
+                       smin, smax)
+
+
+def sharded_pass_assign(mesh: Mesh, depth, sx, sy, valid, node, best_u,
+                        best_v, best_thresh, lchild, rchild, is_split,
+                        axis: str = "data"):
+    """Mesh-sharded split routing (embarrassingly parallel over images)."""
+
+    def local(d, sx_, sy_, v_, n_, bu, bv, bt, bl, br, isp):
+        return forest_mod.pass_assign(d, sx_, sy_, v_, n_, bu, bv, bt,
+                                      bl, br, isp)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(axis),) * 5 + (P(),) * 6, out_specs=P(axis))
+    return jax.jit(fn)(depth, sx, sy, valid, node, best_u, best_v,
+                       best_thresh, lchild, rchild, is_split)
+
+
 def sharded_multistream_lbs(mesh: Mesh, lbs_params, parents, w, p, rots,
                             axis: str = "data"):
     """Batched multi-stream LBS forward sharded over chips (the vmapped

@@ -49,6 +49,13 @@ def build_parser():
     ap.add_argument("--checkpoint", default="",
                     help="resumable training state path (saved every level "
                          "and on SIGINT, like the reference's RTREE_V3)")
+    ap.add_argument("--devices", type=int, default=0,
+                    help="shard training over the first N devices of a "
+                         "jax.sharding.Mesh (data-parallel image batches, "
+                         "psum'd count tensors; 0 = single device).  The "
+                         "trained tree is identical to the single-device "
+                         "one.  TPU analogue of the reference's "
+                         "--num-threads (RTree.cpp:1700-1704 mutex-reduce)")
     ap.add_argument("--data", default="",
                     help="train from a recorded dataset dir containing "
                          "depth_exr/ + part_mask/ instead of synthetic "
@@ -96,7 +103,7 @@ def main(argv=None):
         max_probe_offset=args.probe, min_samples=args.min_samples,
         max_tree_depth=args.depth, threshes_per_feature=args.threshes,
         part_map=part_map, train_partial_save_path=args.checkpoint,
-        seed=args.seed)
+        seed=args.seed, devices=args.devices)
     tree.partmap_type = pm_type
     tree.export_file(args.output)
     print(f"wrote {args.output} ({tree.forest.num_nodes} nodes)")

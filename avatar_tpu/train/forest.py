@@ -609,6 +609,10 @@ class ForestTrainer:
             raise ValueError("mesh training requires pass_mode='batch' "
                              "(image batches shard over the mesh)")
         self.pass_mode = pass_mode
+        if mesh is not None:
+            # every shard_map call splits the image batch across devices
+            n_dev = int(np.prod(list(mesh.shape.values())))
+            self.B = -(-self.B // n_dev) * n_dev
         # sample-block sizes for the flat passes (scores [BLK, F] and the
         # probe index tensors bound peak memory)
         self._blk_dense = 1 << 17
@@ -813,6 +817,58 @@ class ForestTrainer:
             slab = slab.astype(jnp.float32) * 1e-3
         return slab
 
+    # -- mesh dispatch: image batches shard over the devices --------------
+    #
+    # With a mesh, every level pass runs as a shard_map over the image
+    # axis: per-chip partial min/max/counts reduce with pmin/pmax/psum over
+    # ICI — the all-reduce analogue of the reference's per-thread
+    # accumulate-then-mutex-add (RTree.cpp:1700-1704).  Counts are
+    # integer-valued f32, so the psum is exact and the trained tree is
+    # IDENTICAL to the single-device one (tests/test_parallel.py).
+
+    def _pad_b(self, a, fill=0):
+        """Pad a batch-leading array to the fixed image batch B (mesh mode
+        needs every shard_map call divisible by the mesh size)."""
+        n = a.shape[0]
+        if n == self.B:
+            return a
+        pad = [(0, self.B - n)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, pad, constant_values=fill)
+
+    def _p_minmax(self, slab, sx, sy, valid, nl, fu, fv, NC: int):
+        if self.mesh is None:
+            return pass_minmax(slab, sx, sy, valid, nl, fu, fv, NC)
+        from avatar_tpu.parallel import training as ptrain
+
+        return ptrain.sharded_pass_minmax(
+            self.mesh, self._pad_b(slab), self._pad_b(sx), self._pad_b(sy),
+            self._pad_b(valid), self._pad_b(nl, -1), fu, fv, NC)
+
+    def _p_counts(self, slab, sx, sy, part, valid, nl, fu, fv, smin, smax,
+                  NC: int, T: int, P: int):
+        if self.mesh is None:
+            return pass_counts(slab, sx, sy, part, valid, nl, fu, fv,
+                               smin, smax, NC, T, P)
+        from avatar_tpu.parallel import training as ptrain
+
+        return ptrain.sharded_pass_counts(
+            self.mesh, self._pad_b(slab), self._pad_b(sx), self._pad_b(sy),
+            self._pad_b(part), self._pad_b(valid), self._pad_b(nl, -1),
+            fu, fv, smin, smax, NC, T, P)
+
+    def _p_assign(self, slab, sx, sy, valid, node, bu, bv, bt, bl, br,
+                  isp):
+        n = slab.shape[0]
+        if self.mesh is None:
+            return pass_assign(slab, sx, sy, valid, node, bu, bv, bt,
+                               bl, br, isp)
+        from avatar_tpu.parallel import training as ptrain
+
+        out = ptrain.sharded_pass_assign(
+            self.mesh, self._pad_b(slab), self._pad_b(sx), self._pad_b(sy),
+            self._pad_b(valid), self._pad_b(node), bu, bv, bt, bl, br, isp)
+        return out[:n]
+
     def _train_level(self):
         frontier = self.frontier
         depths = self.frontier_depth
@@ -864,7 +920,7 @@ class ForestTrainer:
             smax = jnp.full((NC, Fb), -big)
             for start in batch_starts:
                 sl = slice(start, min(start + self.B, self.num_images))
-                mn, mx = pass_minmax(
+                mn, mx = self._p_minmax(
                     self._cache_slab(sl),
                     self.samples.x[sl], self.samples.y[sl],
                     self.samples.valid[sl], node_local[sl],
@@ -874,7 +930,7 @@ class ForestTrainer:
             counts = jnp.zeros((NC, Fb, Ts, P))
             for start in batch_starts:
                 sl = slice(start, min(start + self.B, self.num_images))
-                counts = counts + pass_counts(
+                counts = counts + self._p_counts(
                     self._cache_slab(sl),
                     self.samples.x[sl], self.samples.y[sl],
                     self.samples.part[sl], self.samples.valid[sl],
@@ -927,7 +983,7 @@ class ForestTrainer:
         smax_j = jnp.full((NC, F), -big)
         for start in range(0, self.num_images, self.B):
             sl = slice(start, min(start + self.B, self.num_images))
-            mn, mx = pass_minmax(
+            mn, mx = self._p_minmax(
                 self._cache_slab(sl),
                 self.samples.x[sl], self.samples.y[sl],
                 self.samples.valid[sl], node_local[sl],
@@ -938,7 +994,7 @@ class ForestTrainer:
         counts_j = jnp.zeros((NC, F, T, P))
         for start in range(0, self.num_images, self.B):
             sl = slice(start, min(start + self.B, self.num_images))
-            counts_j = counts_j + pass_counts(
+            counts_j = counts_j + self._p_counts(
                 self._cache_slab(sl),
                 self.samples.x[sl], self.samples.y[sl],
                 self.samples.part[sl], self.samples.valid[sl],
@@ -955,7 +1011,7 @@ class ForestTrainer:
         for start in range(0, self.num_images, self.B):
             sl = slice(start, min(start + self.B, self.num_images))
             node = jnp.asarray(np.maximum(self.node_of[sl], 0))
-            new_node = pass_assign(
+            new_node = self._p_assign(
                 self._cache_slab(sl),
                 self.samples.x[sl], self.samples.y[sl],
                 self.samples.valid[sl], node,
@@ -1171,7 +1227,7 @@ def train_from_avatar(rtree, avatar_model, pose_seq, intrin, image_size,
                       threshes_per_feature: int = 16, part_map=None,
                       max_images_loaded: int = 0, mem_limit_mb: int = 0,
                       train_partial_save_path: str = "",
-                      seed: int = 0) -> None:
+                      seed: int = 0, devices: int = 0) -> None:
     """Train rtree from synthetic renders (reference RTree.cpp:3292-3330).
 
     num_features_filtered > 0 enables TrainerV2's two-stage feature
@@ -1194,6 +1250,11 @@ def train_from_avatar(rtree, avatar_model, pose_seq, intrin, image_size,
     # the fixed threshes_per_feature buckets.
     filter_subsample = (max(1, round(1.0 / frac_samples_per_feature))
                         if frac_samples_per_feature > 0 else 4)
+    mesh = None
+    if devices:
+        from avatar_tpu.parallel.training import make_mesh
+
+        mesh = make_mesh(devices)
     trainer = ForestTrainer(
         avatar_model, intrin, image_size, rtree.num_parts,
         part_map=part_map, pose_seq=pose_seq, num_images=num_images,
@@ -1203,7 +1264,7 @@ def train_from_avatar(rtree, avatar_model, pose_seq, intrin, image_size,
         seed=seed, verbose=verbose,
         checkpoint_path=train_partial_save_path,
         num_features_filtered=num_features_filtered,
-        filter_subsample=filter_subsample)
+        filter_subsample=filter_subsample, mesh=mesh)
     fd = trainer.train(resume_from=train_partial_save_path)
     rtree.set_forest(fd)
     rtree.part_map = list(part_map) if part_map is not None else []

@@ -172,3 +172,27 @@ def test_sharded_track_step(setup):
                                np.asarray(one.theta.p), atol=1e-5)
     np.testing.assert_allclose(np.asarray(out.host_diag[3]),
                                np.asarray(one.host_diag), atol=1e-4)
+
+
+def test_mesh_trainer_identical_tree(setup):
+    """ForestTrainer(mesh=...) must grow the SAME tree as the single-device
+    trainer: pmin/pmax are order-independent and the psum'd histogram
+    counts are integer-valued f32 (exact addition), so every split decision
+    matches.  This exercises the PRODUCTION trainer entry point on the
+    mesh, not just the standalone sharded step."""
+    from avatar_tpu.train.forest import ForestTrainer
+
+    model, _ = setup
+    kwargs = dict(num_parts=24, num_images=16, num_points_per_image=150,
+                  num_features=16, max_probe_offset=48.0, min_samples=16,
+                  max_tree_depth=5, image_batch=8, seed=9,
+                  pass_mode="batch")
+    fd_1 = ForestTrainer(model, INTRIN, (H, W), **kwargs).train()
+    mesh = ptrain.make_mesh()
+    fd_m = ForestTrainer(model, INTRIN, (H, W), mesh=mesh, **kwargs).train()
+    np.testing.assert_array_equal(fd_m.lnode, fd_1.lnode)
+    np.testing.assert_array_equal(fd_m.leafid, fd_1.leafid)
+    np.testing.assert_array_equal(fd_m.u, fd_1.u)
+    np.testing.assert_array_equal(fd_m.v, fd_1.v)
+    np.testing.assert_allclose(fd_m.thresh, fd_1.thresh, rtol=1e-6)
+    np.testing.assert_allclose(fd_m.leaf_data, fd_1.leaf_data, atol=1e-7)
