@@ -21,6 +21,68 @@ from avatar_tpu.tools.common import add_model_args, load_model
 from avatar_tpu.tracking import Tracker, TrackerConfig
 
 
+class LiveDemoState:
+    """Keyboard-driven interactive state machine (live-demo.cpp:491-529).
+
+    Keys (case-insensitive, same bindings as the reference):
+      q / ESC   quit
+      b         capture the current frame as the background model
+      SPACE     pause/unpause; the FIRST unpause captures the background if
+                none is set (live-demo.cpp:516-523), and pausing arms
+                tracking reinitialization for the next unpaused frame
+                (live-demo.cpp:525: ``if (pause) reinit = true``)
+      h         toggle the BG-subtraction bounding-box overlay
+      t         toggle rtree-only visualization mode
+      0-3       background display type (none / RGB / depth / external)
+    """
+
+    def __init__(self, start_paused: bool = False):
+        self.pause = start_paused
+        self.background_type = 1
+        self.show_bbox = False
+        self.rtree_only = False
+        self.quit = False
+        self.bg_set = False
+
+    def handle_key(self, c: int, tracker, xyz) -> None:
+        if c is None or c < 0:
+            return
+        ch = chr(c).upper() if 0 <= c < 256 else ""
+        if ch == "Q" or c == 27:                      # 27 = ESC
+            self.quit = True
+        elif ch in "0123":
+            self.background_type = int(ch)
+        elif ch == "B":
+            tracker.set_background(xyz)
+            self.bg_set = True
+            print("[live] background updated", file=sys.stderr)
+        elif ch == "H":
+            self.show_bbox = not self.show_bbox
+        elif ch == "T":
+            self.rtree_only = not self.rtree_only
+        elif ch == " ":
+            if not self.bg_set:
+                tracker.set_background(xyz)
+                self.bg_set = True
+                print("[live] unpaused, background updated",
+                      file=sys.stderr)
+            self.pause = not self.pause
+            if self.pause:
+                # reference live-demo.cpp:525: pausing arms reinit so the
+                # next unpaused frame re-acquires the subject
+                tracker.reinit = True
+
+
+def _cv_key_source():
+    """Default interactive key source: cv2.waitKey when a display exists."""
+    try:
+        import cv2
+
+        return lambda: cv2.waitKey(1)
+    except ImportError:
+        return lambda: -1
+
+
 def build_parser():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("rtree", nargs="?", default="",
@@ -55,11 +117,23 @@ def build_parser():
                          "default from TrackerConfig)")
     ap.add_argument("--no-render-labels", action="store_true",
                     help="disable the model-predicted label override")
+    ap.add_argument("--interactive", action="store_true",
+                    help="start PAUSED with the reference's keyboard loop "
+                         "(space = unpause + capture background, b = "
+                         "recapture, q = quit; live-demo.cpp:491-529); "
+                         "reads keys from the display window")
     add_model_args(ap)
     return ap
 
 
-def main(argv=None):
+def main(argv=None, key_source=None, on_frame=None):
+    """Run the live demo.
+
+    key_source: optional callable returning a keycode (or -1) per frame —
+    tests inject scripted sequences here; interactive runs poll the
+    display window.  on_frame: optional callback
+    ``(frame_no, state, result_or_None)`` for observability/testing.
+    """
     args = build_parser().parse_args(argv)
     model = load_model(args)
     cam = open_camera(args.camera)
@@ -98,20 +172,41 @@ def main(argv=None):
     if args.out:
         os.makedirs(args.out, exist_ok=True)
 
+    state = LiveDemoState(start_paused=args.interactive)
+    if key_source is None:
+        key_source = _cv_key_source() if args.interactive else (lambda: -1)
+    if args.interactive:
+        print("Note: paused, press space to begin. The background (for BG "
+              "subtraction) will be captured each time you unpause.",
+              file=sys.stderr)
+
     cam.begin_capture()
     n = 0
     last_id = -1
     oracle = None
     try:
-        while True:
+        while not state.quit:
             frame, fid = cam.get_frame()
             if frame is None or fid == last_id:
                 time.sleep(0.002)
                 continue
             last_id = fid
             xyz, rgb = frame
+            state.handle_key(key_source(), tracker, xyz)
+            if state.quit:
+                break
+            if state.pause:
+                # reference pause branch (live-demo.cpp:273-289): show
+                # PAUSED, do not track or advance the recording
+                if on_frame is not None:
+                    on_frame(n, state, None)
+                n += 1
+                if args.frames and n >= args.frames:
+                    break
+                continue
             if args.capture_bg_after and n == args.capture_bg_after:
                 tracker.set_background(xyz)
+                state.bg_set = True
                 print("[live] background captured", file=sys.stderr)
             if rtree is None and hasattr(cam, "gt"):
                 # synthetic camera without a forest: oracle labels
@@ -121,6 +216,8 @@ def main(argv=None):
                 oracle = rend.render_part_mask((H, W))
             res = tracker.track(xyz, labels_override=oracle)
             status = ("ok" if res.ok else "lost")
+            if on_frame is not None:
+                on_frame(n, state, res)
             if n % 10 == 0:
                 print(f"frame {n}: {status} pts={res.n_points}",
                       file=sys.stderr)
