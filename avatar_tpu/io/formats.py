@@ -515,6 +515,53 @@ def read_rtree_v2(path: str) -> RTreeV2State:
                         sample_pix)
 
 
+def write_rtree_v2(path: str, state: RTreeV2State) -> None:
+    """Write an RTREE_V2 checkpoint the reference V2 trainer can resume
+    (layout from RTree::TrainerV2 saveState, RTree.cpp:1964-2024; atomic
+    .partial + rename).  The sample section groups pixels by image:
+    ``(img_index i32, n i32, n x (x i16, y i16))`` runs, terminated by the
+    total count written up front."""
+    tmp = path + ".partial"
+    with open(tmp, "wb") as f:
+        f.write(b"RTREE_V2 ")
+        f.write(np.int32(state.num_parts).tobytes())
+        _write_data_source(f, state.source)
+        f.write(bytes([1 if state.need_init else 0]))
+        f.write(np.int32(state.depth).tobytes())
+        f.write(np.int32(state.curr_start_node).tobytes())
+        f.write(np.uint64(len(state.sparse)).tobytes())
+        for arr in state.sparse:
+            a = np.asarray(arr, "<u8")
+            f.write(np.uint64(len(a)).tobytes())
+            f.write(a.tobytes())
+        assigned = np.asarray(state.assigned_node, "<i4")
+        f.write(np.uint64(len(assigned)).tobytes())
+        f.write(assigned.tobytes())
+        fd = state.nodes
+        f.write(np.uint64(fd.num_nodes).tobytes())
+        _write_node_block(f, fd)
+        leaf = np.asarray(state.leaf_data, "<f4").reshape(
+            -1, state.num_parts)
+        f.write(np.uint64(len(leaf)).tobytes())
+        f.write(leaf.tobytes())
+        f.write(b"S\n")
+        idx = np.asarray(state.sample_index, np.int32)
+        pix = np.asarray(state.sample_pix, "<i2").reshape(-1, 2)
+        f.write(np.uint64(len(idx)).tobytes())
+        # group consecutive runs of the same image id (the reference's
+        # per-image sample lists)
+        start = 0
+        while start < len(idx):
+            end = start
+            while end < len(idx) and idx[end] == idx[start]:
+                end += 1
+            f.write(np.int32(idx[start]).tobytes())
+            f.write(np.int32(end - start).tobytes())
+            f.write(pix[start:end].tobytes())
+            start = end
+    os.replace(tmp, path)
+
+
 def trainer_checkpoint_to_forest(state) -> ForestData:
     """Convert a (possibly mid-training) V2/V3 checkpoint into a usable
     forest: frontier nodes that have neither children nor a leaf id get

@@ -49,6 +49,8 @@ class FrameOut(NamedTuple):
     #   [3+3G : 3+8G]        model_com (G, 5): px, py, X, Y, Z at theta0
     #   [3+8G]               root_jump (m)
     #   [3+8G+1]             n_fg (body-gated foreground, data-grid units)
+    #   [3+8G+2]             hard_overflow (selective-walk bucket overflow
+    #                        fraction; 0 when sel_walk is off)
     host_diag: jnp.ndarray
 
 
@@ -61,6 +63,7 @@ class HostDiag(NamedTuple):
     model_com: np.ndarray     # [G, 5]
     root_jump: float = 0.0    # |delta root| this frame (m)
     n_fg: float = 0.0         # body-gated fg count (data-grid units)
+    hard_overflow: float = 0.0  # selective-walk bucket overflow fraction
 
 
 def unpack_diag(vec, num_parts: int) -> HostDiag:
@@ -72,7 +75,9 @@ def unpack_diag(vec, num_parts: int) -> HostDiag:
         com_pre=a[3 + G:3 + 3 * G].reshape(2, G),
         model_com=a[3 + 3 * G:3 + 8 * G].reshape(G, 5),
         root_jump=float(a[3 + 8 * G]) if a.shape[0] > 3 + 8 * G else 0.0,
-        n_fg=float(a[3 + 8 * G + 1]) if a.shape[0] > 3 + 8 * G + 1 else 0.0)
+        n_fg=float(a[3 + 8 * G + 1]) if a.shape[0] > 3 + 8 * G + 1 else 0.0,
+        hard_overflow=float(a[3 + 8 * G + 2])
+        if a.shape[0] > 3 + 8 * G + 2 else 0.0)
 
 
 def _bg_subtract(xyz_s, bg_s, nn_t, nb_t, min_pts, cc_sub: int = 4,
@@ -208,6 +213,11 @@ def _fused_frame_impl(ctx: FitContext, ctx_fit: Optional[FitContext],
 
         from avatar_tpu.perception.rtree import walk_pixels
 
+        # selective-walk observability: fraction of hard (low-confidence)
+        # pixels that overflowed the K/3 bucket and silently degraded to
+        # the gated tree-0 label (advisor finding: overflow was invisible)
+        diag_cells = {"hard_overflow": jnp.zeros((), jnp.float32)}
+
         def walk_set(pys, pxs, pz, pfg, pflat, pshape, ptl, pbr):
             """Conf-gated best label over an arbitrary pixel set; probes
             read ``pflat`` (full grid, or the window slab on the windowed
@@ -244,6 +254,10 @@ def _fused_frame_impl(ctx: FitContext, ctx_fit: Optional[FitContext],
                 K = leaf0.shape[0]
                 K2 = max(-(-(K // 3) // 128) * 128, 128)
                 hard = pfg & jnp.logical_not(easy)
+                n_hard = jnp.sum(hard.astype(jnp.float32))
+                diag_cells["hard_overflow"] = (
+                    jnp.maximum(n_hard - min(K2, K), 0.0) /
+                    jnp.maximum(n_hard, 1.0))
                 tie2 = ((jnp.arange(K, dtype=jnp.uint32) *
                          jnp.uint32(2654435761)) &
                         jnp.uint32(0xFFFF)).astype(jnp.float32) / 65536.0
@@ -567,7 +581,9 @@ def _fused_frame_impl(ctx: FitContext, ctx_fit: Optional[FitContext],
         # detector (TrackerConfig.max_root_jump) reads it for free from
         # the one packed diag copy
         jnp.linalg.norm(theta.p - theta0.p)[None].astype(depth_s.dtype),
-        n_fg[None].astype(depth_s.dtype)])
+        n_fg[None].astype(depth_s.dtype),
+        (diag_cells["hard_overflow"] if use_forest
+         else jnp.zeros((), jnp.float32))[None].astype(depth_s.dtype)])
     if use_forest and seg_window is not None:
         # recreate the full-grid label image for viz/diagnostics (one cheap
         # window-sized copy; everything outside the window is background)
@@ -1508,7 +1524,8 @@ class FusedTracker:
     @staticmethod
     def _fit_info(diag: HostDiag) -> dict:
         return dict(cost=diag.cost, n_matched=diag.n_matched,
-                    part_counts=diag.part_counts.astype(int).tolist())
+                    part_counts=diag.part_counts.astype(int).tolist(),
+                    hard_overflow=diag.hard_overflow)
 
     # -- structured per-frame metrics (SURVEY §5.5) -------------------------
 

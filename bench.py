@@ -223,6 +223,7 @@ def main():
     # latency: synchronous per-frame wall time
     lat = []
     pc = []
+    hov = []
     for i in range(1, min(6, n_frames)):
         scene, mask = frames[i]
         t0 = time.perf_counter()
@@ -231,6 +232,7 @@ def main():
         lat.append(time.perf_counter() - t0)
         if res.ok and res.fit_info and "part_counts" in res.fit_info:
             pc.append(res.fit_info["part_counts"])
+            hov.append(res.fit_info.get("hard_overflow", 0.0))
     latency_ms = float(np.mean(lat) * 1e3) if lat else 0.0
     if pc:
         # per-part correspondence diagnostics (starved parts = drift risk)
@@ -504,6 +506,10 @@ def main():
         "tracked": tracked,
         "platform": jax.devices()[0].platform,
         "labels": "forest" if use_forest else "oracle",
+        # selective-walk hard-bucket overflow: fraction of low-confidence
+        # pixels that silently degraded to the gated single-tree label
+        # (advisor observability finding; should be ~0 in steady state)
+        "hard_overflow_frac": round(float(np.mean(hov)), 4) if hov else 0.0,
     }
     if attribution:
         result["stages_device_ms"] = attribution["stages"]

@@ -305,3 +305,64 @@ def test_rtree_loads_trainer_checkpoint(tmp_path):
     assert state.num_parts == P
     assert tree.forest.num_nodes == 3
     assert (tree.forest.leafid >= 0).sum() == 2  # node 2 got a uniform leaf
+
+
+def test_rtree_v2_checkpoint_round_trip(tmp_path):
+    """write_rtree_v2 -> read_rtree_v2 round trip, and the writer's bytes
+    must equal the hand-packed C++-layout fixture for the same state
+    (writer-side byte compatibility, like the V3 test above)."""
+    import struct
+
+    from avatar_tpu.io.formats import (ForestData, RTreeV2State,
+                                       read_rtree_v2, write_rtree_v2)
+
+    P = 3
+    fd = ForestData(
+        u=np.array([[1.0, 2.0]], np.float32),
+        v=np.array([[3.0, 4.0]], np.float32),
+        thresh=np.array([0.5], np.float32),
+        lnode=np.array([-1], np.int32), rnode=np.array([-1], np.int32),
+        leafid=np.array([0], np.int32),
+        leaf_data=np.array([[0.2, 0.3, 0.5]], np.float32), num_parts=P)
+    st = RTreeV2State(
+        num_parts=P,
+        source=dict(kind="avatar", xor_key=777,
+                    seq=np.array([4, 9], np.int32)),
+        need_init=True, depth=12, curr_start_node=1,
+        sparse=[np.array([10, 20], np.uint64)],
+        assigned_node=np.array([0, 1], np.int32),
+        nodes=fd, leaf_data=fd.leaf_data,
+        sample_index=np.array([0, 0, 1], np.int32),
+        sample_pix=np.array([[1, 2], [3, 4], [5, 6]], np.int16))
+    path = str(tmp_path / "rt.rtree_v2")
+    write_rtree_v2(path, st)
+
+    # byte-level: identical to the hand-packed reference layout
+    buf = b"RTREE_V2 " + struct.pack("<i", P)
+    buf += b"SRC_AVATAR" + struct.pack("<Q", 0xFFFFFFFFFFFFFFFF)
+    buf += struct.pack("<I", 777) + struct.pack("<Q", 2)
+    buf += struct.pack("<ii", 4, 9)
+    buf += struct.pack("<?", True)
+    buf += struct.pack("<ii", 12, 1)
+    buf += struct.pack("<Q", 1) + struct.pack("<Q", 2)
+    buf += struct.pack("<QQ", 10, 20)
+    buf += struct.pack("<Q", 2) + struct.pack("<ii", 0, 1)
+    buf += struct.pack("<Q", 1)
+    buf += struct.pack("<fffff", 1.0, 2.0, 3.0, 4.0, 0.5)
+    buf += struct.pack("<iii", -1, -1, 0)
+    buf += struct.pack("<Q", 1) + struct.pack("<fff", 0.2, 0.3, 0.5)
+    buf += b"S\n" + struct.pack("<Q", 3)
+    buf += struct.pack("<ii", 0, 2) + struct.pack("<hhhh", 1, 2, 3, 4)
+    buf += struct.pack("<ii", 1, 1) + struct.pack("<hh", 5, 6)
+    assert open(path, "rb").read() == buf
+
+    back = read_rtree_v2(path)
+    assert back.num_parts == P and back.need_init and back.depth == 12
+    assert back.curr_start_node == 1
+    assert back.source["xor_key"] == 777
+    np.testing.assert_array_equal(back.source["seq"], [4, 9])
+    np.testing.assert_array_equal(back.assigned_node, st.assigned_node)
+    np.testing.assert_array_equal(back.sample_index, st.sample_index)
+    np.testing.assert_array_equal(back.sample_pix, st.sample_pix)
+    np.testing.assert_allclose(back.nodes.thresh, fd.thresh)
+    np.testing.assert_allclose(back.leaf_data, fd.leaf_data)
