@@ -365,8 +365,25 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
                                   dtype=dtype)
                    * (data_part >= 0).astype(dtype)[:, None])   # [N, NP+1]
 
-    def step(state):
-        theta, fwd, lam, it, accepted, small_cnt, _, _, corr_prev = state
+    def cost_at(th, xf, cidx, wgt, vn, bp, bs, bt):
+        rr = xf[cidx] - data_pts
+        c_pt = 0.5 * jnp.sum(wgt * jnp.sum(rr * rr, -1))
+        c_pl = 0.5 * jnp.sum(wgt * jnp.sum(vn[cidx] * rr, -1) ** 2)
+        aa_t = rotation.so3_log(jnp.einsum(
+            "jab,jcb->jac", th.rots, rots0, precision=_HI))
+        c_t = 0.5 * bt ** 2 * jnp.sum(aa_t * aa_t)
+        return (w_pt ** 2 * c_pt + w_pl ** 2 * c_pl + c_t +
+                _prior_cost(ctx, th, bp, bs))
+
+    def linearize(theta, fwd, corr_prev):
+        """Everything that depends only on the current iterate: NN
+        correspondence, robust weights, sufficient statistics, Jacobian,
+        gram/gradient, and the cost at theta.  On an LM-REJECTED step the
+        iterate is unchanged — only the damping lambda moves — so the
+        while-loop below reuses the carried result instead of recomputing
+        (the reference pays the same rebuild every Ceres inner iteration;
+        Ceres itself reuses the residual/jacobian evaluation on rejected
+        trust-region steps, which this mirrors)."""
         x, shaped, j_init, Rg, tg, A = fwd
         vn = jnp.einsum("pab,pb->pa", A, n_rest, precision=_HI)
         vn = vn / jnp.linalg.norm(vn, axis=-1, keepdims=True).clip(1e-12)
@@ -429,17 +446,7 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
         bs = beta_shape * scale
         bt = w_tmp * scale
 
-        def total_cost(th, xf):
-            rr = xf[cidx] - data_pts
-            c_pt = 0.5 * jnp.sum(wgt * jnp.sum(rr * rr, -1))
-            c_pl = 0.5 * jnp.sum(wgt * jnp.sum(vn[cidx] * rr, -1) ** 2)
-            aa_t = rotation.so3_log(jnp.einsum(
-                "jab,jcb->jac", th.rots, rots0, precision=_HI))
-            c_t = 0.5 * bt ** 2 * jnp.sum(aa_t * aa_t)
-            return (w_pt ** 2 * c_pt + w_pl ** 2 * c_pl + c_t +
-                    _prior_cost(ctx, th, bp, bs))
-
-        cost = total_cost(theta, x)
+        cost = cost_at(theta, x, cidx, wgt, vn, bp, bs, bt)
         Jm = _icp_jacobian(ctx, parents, theta, fwd,
                            with_shape=not freeze_shape)           # [P,3,D]
         rhs = cnt[:, None] * x - s                                # [P,3]
@@ -476,6 +483,27 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
         Jtr = Jtr.at[3:3 + 3 * J_].add(
             bt ** 2 * jnp.einsum("jab,jb->ja", Cmat, aa_t,
                                  precision=_HI).reshape(-1))
+        # correspondence stability vs the previous linearization point —
+        # part of the convergence test (see step below)
+        corr_stable = jnp.all(st.corr == corr_prev)
+        return (JtJ, Jtr, cost, n_matched, st.corr, cidx, wgt, vn,
+                jnp.stack([bp, bs, bt]), corr_stable)
+
+    def step(state):
+        theta, fwd, lam, it, accepted, small_cnt, need_lin, _, lin = state
+        # Re-linearize only when the iterate moved (last trial accepted, or
+        # first iteration).  On a rejected LM step theta is unchanged — NN
+        # matching, robust weights, Jacobian, grams and priors are all pure
+        # functions of theta, so the carried bundle is bitwise what a
+        # recompute would produce; correspondences are trivially stable.
+        lin = jax.lax.cond(
+            need_lin,
+            lambda: linearize(theta, fwd, lin[4]),
+            lambda: lin[:9] + (jnp.asarray(True),))
+        (JtJ, Jtr, cost, n_matched, corr, cidx, wgt, vn, b3,
+         corr_stable) = lin
+        bp, bs, bt = b3[0], b3[1], b3[2]
+        x, shaped, j_init, Rg, tg, A = fwd
         # Marquardt damping with a diagonal floor: dimensions the data does
         # not constrain (e.g. shape keys of occluded parts) have ~zero
         # curvature AND ~zero gradient; pure diag-scaling leaves them
@@ -490,7 +518,7 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
             delta = jnp.concatenate([delta, jnp.zeros(K_all, dtype)])
         trial = _retract(theta, delta, Rg, parents)
         trial_fwd = _forward(ctx, parents, trial, use_jsr)
-        trial_cost = total_cost(trial, trial_fwd[0])
+        trial_cost = cost_at(trial, trial_fwd[0], cidx, wgt, vn, bp, bs, bt)
 
         accept = trial_cost < cost
         th_new = jax.tree.map(
@@ -508,12 +536,11 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
         # count whether the trial was accepted or rejected: at the optimum
         # LM rejects every trial (cost is already minimal), which must
         # terminate like Ceres' function_tolerance, not spin the full budget
-        corr_stable = jnp.all(st.corr == corr_prev)
         small = (rel < function_tolerance) & corr_stable
         small_cnt_new = jnp.where(small, small_cnt + 1, 0)
         return (th_new, fwd_new, lam_new, it + 1,
                 accepted + accept.astype(jnp.int32), small_cnt_new,
-                jnp.where(accept, trial_cost, cost), n_matched, st.corr)
+                accept, jnp.where(accept, trial_cost, cost), lin)
 
     def cond(state):
         it = state[3]
@@ -521,13 +548,20 @@ def fit(ctx: FitContext, parents: Tuple[int, ...], data_pts: jnp.ndarray,
         return (it < n_steps) & (small_cnt < 2)
 
     fwd0 = _forward(ctx, parents, theta0, use_jsr)
+    N_d = data_pts.shape[0]
+    lin0 = (jnp.zeros((D_fit, D_fit), dtype), jnp.zeros(D_fit, dtype),
+            jnp.asarray(jnp.inf, dtype), jnp.asarray(0.0, dtype),
+            jnp.full(N_d, -2, jnp.int32), jnp.zeros(N_d, jnp.int32),
+            jnp.zeros(N_d, dtype), jnp.zeros((P, 3), dtype),
+            jnp.zeros(3, dtype), jnp.asarray(False))
     init = (theta0, fwd0, jnp.asarray(1e-2, dtype),
             jnp.asarray(0, jnp.int32),
             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-            jnp.asarray(jnp.inf, dtype), jnp.asarray(0.0, dtype),
-            jnp.full(data_pts.shape[0], -2, jnp.int32))
-    (theta, _, lam, it, accepted, _, cost, n_matched,
-     corr_final) = jax.lax.while_loop(cond, step, init)
+            jnp.asarray(True), jnp.asarray(jnp.inf, dtype), lin0)
+    (theta, _, lam, it, accepted, _, _, cost,
+     lin_f) = jax.lax.while_loop(cond, step, init)
+    n_matched = lin_f[3]
+    corr_final = lin_f[4]
     NP = num_parts or len(parents)
     matched_f = corr_final >= 0
     # wildcard matches (label == NP) are excluded: the starvation

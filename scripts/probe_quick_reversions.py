@@ -1,32 +1,31 @@
-"""Tracking-accuracy regression gates (VERDICT r2 item 6).
+"""Single-knob reversion probes for the quick-config regression gate.
 
-Runs the fused tracker over the quick benchmark configuration (the same
-synthetic ground-truth sequence bench.py --quick uses) with oracle labels
-and asserts joint-error / vertex-RMSE ceilings, so an accuracy regression
-in the fit, correspondence, or tracking state machine fails CI loudly
-instead of only drifting the bench numbers.  Reference anchor: the
-optim.cpp round-trip idea (optim.cpp:18-156) extended to a sequence.
+The regression gate (tests/test_tracking_regression.py) re-based its measured
+baseline after the round-3 full-bench retuning (plane_weight 1.0 -> 2.0,
+beta_temp 0.0 -> 0.3).  The advisor asked for the reversion-probe evidence to
+be committed so the re-base is auditable: this script re-runs the gate's exact
+configuration (256x256, oracle labels, 8 frames — bench.py --quick sequence)
+with each retuned knob individually reverted, and writes the joint-error /
+vertex-RMSE table to data/reversion_probes_quick.json.
 
-Measured baseline at this configuration (CPU f32): joint_err ~20.9 mm,
-vertex_rmse ~32.8 mm (re-measured round 4; the config's operating point
-moved when the full-bench defaults were retuned in round 3 — plane_weight
-2.0 / beta_temp 0.3 are each individually optimal here too, verified by
-single-knob reversion probes; the probe table is committed at
-data/reversion_probes_quick.json and reproducible via
-scripts/probe_quick_reversions.py: tuned 21.5 mm joint / 34.2 mm vertex
-vs 25.1 (plane_weight=1.0), 30.7 (beta_temp=0.0), 31.8 (both) mm joint).
-Ceilings are ~1.15x measured, so a real
-regression fails CI while f32 platform noise does not.  The production
-operating point is gated by the committed TPU bench artifacts
-(data/bench_r04_selwalk.json: joint 11.0 mm / vertex 16.3 mm at 720p).
+Run: python scripts/probe_quick_reversions.py   (CPU, ~5 min)
 """
 
+import json
+import os
+import sys
+import time
+
 import numpy as np
-import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 
-@pytest.mark.slow
-def test_quick_sequence_joint_error_ceiling():
+def run_probe(overrides):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from avatar_tpu.core import rotation
@@ -43,7 +42,6 @@ def test_quick_sequence_joint_error_ceiling():
     model = synthetic_model(detail=2)
     bg = np.full((H, W), 4.0, np.float32)
 
-    # bench.py --quick ground-truth sequence (bench.py:86-127)
     gt = Avatar(model)
     gt.randomize(seed=77)
     gt.w *= 0.3
@@ -57,7 +55,7 @@ def test_quick_sequence_joint_error_ceiling():
 
     cfg = TrackerConfig(data_interval=4, min_points=200, frame_icp_iters=3,
                         reinit_icp_iters=6, initial_icp_iters=7,
-                        iters_per_icp=4, rtree_interval=2)
+                        iters_per_icp=4, rtree_interval=2, **overrides)
     tracker = FusedTracker(model, intrin, (H, W), config=cfg)
     tracker.set_background(bg)
 
@@ -82,11 +80,30 @@ def test_quick_sequence_joint_error_ceiling():
         gt.r = np.einsum("jab,jbc->jac", step, base_r)
         gt.p = base_p + np.array([0.25 * np.sin(0.2 * (t + 1)), 0.0,
                                   0.15 * np.sin(0.13 * (t + 1))])
+    return (float(np.mean(errs[1:]) * 1e3), float(np.mean(vrms[1:]) * 1e3))
 
-    joint_err_mm = float(np.mean(errs[1:]) * 1e3)
-    vertex_rmse_mm = float(np.mean(vrms[1:]) * 1e3)
-    print(f"\n[gate] joint_err={joint_err_mm:.2f}mm "
-          f"vertex_rmse={vertex_rmse_mm:.2f}mm")
-    assert joint_err_mm < 24.0, f"joint error regressed: {joint_err_mm:.1f}mm"
-    assert vertex_rmse_mm < 38.0, \
-        f"vertex RMSE regressed: {vertex_rmse_mm:.1f}mm"
+
+def main():
+    probes = {
+        "tuned (plane_weight=2.0, beta_temp=0.3)": {},
+        "revert plane_weight=1.0": {"plane_weight": 1.0},
+        "revert beta_temp=0.0": {"beta_temp": 0.0},
+        "revert both": {"plane_weight": 1.0, "beta_temp": 0.0},
+    }
+    out = {}
+    for name, ov in probes.items():
+        t0 = time.time()
+        j, v = run_probe(ov)
+        out[name] = {"joint_err_mm": round(j, 2),
+                     "vertex_rmse_mm": round(v, 2)}
+        print(f"[probe] {name}: joint {j:.2f}mm vertex {v:.2f}mm "
+              f"({time.time() - t0:.0f}s)", flush=True)
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "reversion_probes_quick.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"[probe] wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
