@@ -259,3 +259,34 @@ def test_live_demo_state_reinit_arming():
     assert st.background_type == 2
     st.handle_key(27, tr, None)             # ESC
     assert st.quit is True
+
+
+def test_rtree_run_dataset_interactive(tmp_path):
+    """Scripted-key drive of rtree_run_dataset --interactive: the a/d/m/q
+    frame-stepping loop of rtree-run-dataset.cpp:103-186.  Asserts the
+    frame-position and mask-toggle state transitions frame by frame."""
+    from avatar_tpu.tools import rtree_run_dataset, rtree_train, smplsynth
+
+    out = str(tmp_path / "synth")
+    smplsynth.main([out, "-n", "3", "--width", "96", "--height", "96",
+                    "--fx", "85", "--fy", "85", "--cx", "48", "--cy", "48",
+                    "--synthetic-model", "1", "--batch", "3"])
+    tree_path = str(tmp_path / "t.srtr")
+    rtree_train.main([tree_path, "--synthetic-model", "1", "--images", "6",
+                      "--pixels", "100", "--features", "8", "--depth", "4",
+                      "--min-samples", "20", "--probe", "40",
+                      "--width", "96", "--height", "96", "--fx", "85",
+                      "--fy", "85", "--cx", "48", "--cy", "48", "-q"])
+
+    keys = iter([ord("d"), ord("d"), ord("a"), ord("m"), ord("m"),
+                 ord("d"), ord("q")])
+    seen = []
+    rtree_run_dataset.main(
+        [out, tree_path, "--interactive", "--start", "0", "-p", "8",
+         "--out", str(tmp_path / "viz")],
+        key_source=lambda: next(keys),
+        on_frame=lambda fid, mask, img: seen.append((fid, mask)))
+    # d,d -> frames 0,1,2; a -> 1; m shows frame 1's GT mask; m back to
+    # seg; d -> 2; q exits after displaying it
+    assert seen == [(0, False), (1, False), (2, False), (1, False),
+                    (1, True), (1, False), (2, False)]
