@@ -136,6 +136,7 @@ def run_long(args):
 
     errs = np.full(n_frames, np.nan)
     reinits = []
+    hov_phase = {}
     t0 = time.time()
     for t in range(n_frames):
         ph = next(name for name, a, b in PHASES if a <= t < b)
@@ -159,6 +160,12 @@ def run_long(args):
         res = tracker.track(frame, labels_override=mask)
         if res.reinitialized:
             reinits.append(t)
+        if res.fit_info:
+            # selective-walk hard-bucket overflow, tracked per phase: the
+            # K/3 bucket silently degrades overflowing low-confidence
+            # pixels, and occlusion phases are where overflow would occur
+            hov_phase.setdefault(ph, []).append(
+                res.fit_info.get("hard_overflow", 0.0))
         if not absent:
             th = tracker._theta
             _, joints, _, _ = lbs(model.params, model.parents, th.w, th.p,
@@ -202,6 +209,8 @@ def run_long(args):
         "n_reinits": len(reinits),
         "limb_recovery_events": {int(k): int(v) for k, v in
                                  tracker.limb_recoveries.items()},
+        "hard_overflow_frac_per_phase": {
+            ph: round(float(np.mean(v)), 4) for ph, v in hov_phase.items()},
         "occlusion_recovery_frames": recovery_latency(240) if n_frames > 240
         else None,
         "return_recovery_frames": recovery_latency(260) if n_frames > 260
