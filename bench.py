@@ -45,6 +45,10 @@ def main():
     ap.add_argument("--no-batch", action="store_true",
                     help="use per-frame track_async for the throughput "
                          "pass instead of 8-frame batch dispatches")
+    ap.add_argument("--batch", type=int, default=8,
+                    help="frames per device dispatch in the throughput "
+                         "pass; larger batches amortize the remote-tunnel "
+                         "round trip over more frames")
     ap.add_argument("--set", action="append", default=[],
                     metavar="KEY=VAL", help="TrackerConfig override "
                     "(repeatable), e.g. --set refine_every=1")
@@ -205,7 +209,7 @@ def main():
     tracker.set_background(bg_depth)
 
     # warmup (compile the reinit, steady-state, and batch variants)
-    BATCH = 8
+    BATCH = max(1, args.batch)
     use_batch = not args.no_batch
     for i in range(min(3, n_frames)):
         scene, mask = frames[i]
