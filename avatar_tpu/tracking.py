@@ -52,9 +52,15 @@ class TrackerConfig:
     # tracked root's camera depth by more than this (meters) are rejected
     # before segmentation/fit — an occluder entering the scene is a new
     # blob at the wrong depth, and without the gate its points capture the
-    # ICP wholesale (measured: 1030 mm joint error in the eval_long
-    # occluded phase; <40 mm with the gate).  Disabled during (re)init
-    # when no prior pose exists.  0 = off.
+    # ICP wholesale.  Measured scope (see tests/test_tracking_regression.py
+    # occlusion gate + data/eval_long.json): with a well-tracked entry
+    # pose the gate holds the occluded phase under 40 mm (CI gate measures
+    # 27.3 mm through a 1.6 m slab; 1030 mm without the gate).  If the
+    # tracker ENTERS occlusion already mistracked (e.g. after a fast-limb
+    # phase), the stale root depth can gate out the true body and the
+    # recovery path dominates the phase error instead — the long eval
+    # reports both regimes per phase.  Disabled during (re)init when no
+    # prior pose exists.  0 = off.
     body_gate: float = 0.6
     # max_root_jump: a steady-state frame whose fit moved the root by more
     # than this (meters) is rejected (coast on the previous pose); a full
@@ -138,8 +144,15 @@ class TrackerConfig:
     selective_walk: float = 0.75
     # inference-side class rebalancing of forest leaf distributions:
     # multiply by (class frequency)^-alpha and renormalize, shifting the
-    # argmax toward rare classes (hands/feet) without retraining.  0 = off
-    label_class_balance: float = 0.0
+    # argmax toward rare classes (hands/feet) without retraining.  0 = off.
+    # Default 0.5: train-stride pixel starvation leaves hands/feet at
+    # ~0.1-0.3% leaf sample mass, so the plain argmax never emits them;
+    # alpha=0.5 lifts held-out foot pixel accuracy 0.16->0.49 / 0.39->0.50
+    # at -0.8% overall (scripts/leaf_reweight_probe.py) and is neutral on
+    # the 40-frame TPU bench (joint 10.95 vs 10.78 mm, within run noise;
+    # p12 mean match count 0 -> 1).  alpha=1.0 over-corrects (wrists
+    # 0.45->0.27).
+    label_class_balance: float = 0.5
     seg_window: Optional[tuple] = (576, 448)
     enable_occlusion: bool = True
     point_weight: float = 1.0

@@ -37,6 +37,9 @@ def main():
                     "writes the group LUT as the .partmap sidecar")
     ap.add_argument("--balance", type=float, default=0.5,
                     help="per-class pixel-sampling balance exponent")
+    ap.add_argument("--image-batch", type=int, default=0,
+                    help="images per render/level-pass dispatch "
+                    "(0 = 8*stride^2, the full-res-equivalent pixel load)")
     ap.add_argument("--train-stride", type=int, default=1,
                     help="render/train at this pixel stride (the tracker "
                     "reads the forest at rtree_interval=3, so stride 3 "
@@ -88,7 +91,8 @@ def main():
             num_points_per_image=args.points, num_features=args.features,
             num_features_filtered=args.filtered,
             max_probe_offset=args.probe / ts, min_samples=args.min_samples,
-            max_tree_depth=args.depth, image_batch=8 * ts * ts,
+            max_tree_depth=args.depth,
+            image_batch=args.image_batch or 8 * ts * ts,
             seed=args.seed + 71 * t, verbose=True,
             sample_balance=args.balance,
             checkpoint_path=path + ".ckpt")

@@ -297,3 +297,44 @@ def test_occluder_does_not_capture_tracking(sequence):
     ava = tracker.sync_avatar()
     err = np.linalg.norm(ava.joint_pos - gtj, axis=1).mean()
     assert err < 0.09, f"post-occlusion err {err * 1e3:.0f} mm"
+
+
+def test_reweight_tree_rebalances_rare_classes():
+    """_reweight_tree must (a) be identity at alpha<=0, (b) keep rows
+    normalized, (c) move the argmax of a leaf whose rare-class evidence
+    is strong-relative-to-prior from the common class to the rare one,
+    and (d) leave pure common-class leaves alone.  This is the
+    inference-side fix for train-stride pixel starvation of hands/feet
+    (leaf sample mass ~0.1% -> plain argmax never emits those labels)."""
+    import jax.numpy as jnp
+
+    from avatar_tpu.tracking_fused import _reweight_tree
+    from avatar_tpu.perception.rtree import TreeTensors
+
+    # 3 leaves x 4 classes; class 3 is rare (prior ~2%)
+    ld = np.array([
+        [0.97, 0.01, 0.01, 0.01],   # pure common leaf
+        [0.55, 0.05, 0.05, 0.35],   # mixed: rare class 20x its prior
+        [0.94, 0.02, 0.02, 0.02],
+    ], np.float32)
+    z = jnp.zeros(3, jnp.int32)
+    t = TreeTensors(
+        u=jnp.zeros((3, 2)), v=jnp.zeros((3, 2)),
+        thresh=jnp.zeros(3), lnode=z, rnode=z,
+        leafid=jnp.arange(3, dtype=jnp.int32),
+        leaf_data=jnp.asarray(ld),
+        leaf_best=jnp.asarray(ld.argmax(1).astype(np.uint8)),
+        leaf_conf=jnp.asarray(ld.max(1)))
+
+    same = _reweight_tree(t, 0.0)
+    assert same is t
+
+    rw = _reweight_tree(t, 1.0)
+    g = np.asarray(rw.leaf_data)
+    np.testing.assert_allclose(g.sum(1), 1.0, atol=1e-5)
+    best = np.asarray(rw.leaf_best)
+    assert best[0] == 0            # pure leaf unchanged
+    assert best[1] == 3            # rare class wins the mixed leaf
+    assert best[2] == 0
+    np.testing.assert_allclose(np.asarray(rw.leaf_conf),
+                               g.max(1), atol=1e-6)
