@@ -34,7 +34,7 @@ def main():
     ap.add_argument("--frames", type=int, default=0)
     ap.add_argument("--oracle-labels", action="store_true",
                     help="use ground-truth part masks instead of the forest")
-    ap.add_argument("--forest-cache", default="data/bench_forest.srtr")
+    ap.add_argument("--forest-cache", default="data/bench_forest_r5.srtr")
     ap.add_argument("--json-out", default="")
     ap.add_argument("--no-part-groups", action="store_true",
                     help="strict per-part matching (reference semantics) "
@@ -45,10 +45,19 @@ def main():
     ap.add_argument("--no-batch", action="store_true",
                     help="use per-frame track_async for the throughput "
                          "pass instead of 8-frame batch dispatches")
-    ap.add_argument("--batch", type=int, default=8,
+    ap.add_argument("--batch", type=int, default=16,
                     help="frames per device dispatch in the throughput "
-                         "pass; larger batches amortize the remote-tunnel "
-                         "round trip over more frames")
+                         "pass; batches amortize the remote-tunnel round "
+                         "trip while keeping >1 batch in flight so upload "
+                         "overlaps compute (dispatch latency is reported "
+                         "separately as latency_ms)")
+    ap.add_argument("--tp-frames", type=int, default=160,
+                    help="minimum frames in the steady-state throughput "
+                         "pass: the GT sequence is ping-ponged (forward/"
+                         "backward, motion stays continuous) until this "
+                         "long, so pipeline fill/drain (first upload + "
+                         "last resolve) amortizes to its steady-state "
+                         "share; 0 = single pass over the GT frames")
     ap.add_argument("--set", action="append", default=[],
                     metavar="KEY=VAL", help="TrackerConfig override "
                     "(repeatable), e.g. --set refine_every=1")
@@ -255,6 +264,21 @@ def main():
     best_wall = np.inf
     import contextlib
 
+    # steady-state frame list: ping-pong the GT sequence (forward, then
+    # backward from the second-to-last frame, ...) until it reaches
+    # --tp-frames.  Motion stays continuous across the reversals, so the
+    # tracker never reinitializes at a seam, and the first n_frames entries
+    # are exactly the GT sequence — accuracy is evaluated on those alone.
+    tp_frames = list(frames)
+    if not args.quick and args.tp_frames > len(frames) > 1:
+        fwd = frames[1:]
+        bwd = frames[-2::-1]
+        nxt = bwd
+        while len(tp_frames) < args.tp_frames:
+            tp_frames.extend(nxt)
+            nxt = fwd if nxt is bwd else bwd
+    n_tp = len(tp_frames)
+
     from avatar_tpu.profiling import device_trace
     prof = (device_trace(args.profile_dir) if args.profile_dir
             else contextlib.nullcontext())
@@ -271,8 +295,8 @@ def main():
                 # upload while batch k computes on device, so steady-state
                 # cost is max(upload, device) instead of their sum
                 batches = []
-                for i in range(0, n_frames, BATCH):
-                    chunk = frames[i:i + BATCH]
+                for i in range(0, n_tp, BATCH):
+                    chunk = tp_frames[i:i + BATCH]
                     for res, bt in tracker.track_batch_async(
                             [s for s, m in chunk],
                             None if use_forest else [m for s, m in chunk]):
@@ -286,7 +310,7 @@ def main():
                     for k in range(nb):
                         thetas.append(_jxx.tree.map(lambda a: a[k], bt))
             else:
-                for i, (scene, mask) in enumerate(frames):
+                for i, (scene, mask) in enumerate(tp_frames):
                     res = tracker.track_async(
                         scene, labels_override=None if use_forest else mask)
                     if res is None or res.ok:
@@ -297,8 +321,8 @@ def main():
             best_wall = min(best_wall, wall)
     wall = best_wall
 
-    fps = n_frames / wall
-    frame_ms = np.asarray([wall / n_frames * 1e3])
+    fps = n_tp / wall
+    frame_ms = np.asarray([wall / n_tp * 1e3])
     stages = {k: float(np.mean(v)) for k, v in tracker.timer.stats.items()}
 
     # tunnel-tax attribution: amortized device time per fused frame (chained
@@ -475,7 +499,7 @@ def main():
 
     errs = []
     vrms = []
-    for i, th in enumerate(thetas):
+    for i, th in enumerate(thetas[:n_frames]):
         verts, joints, _, _ = _lbs(model.params, model.parents, th.w, th.p,
                                    th.rots)
         errs.append(np.linalg.norm(np.asarray(joints) - gts[i],
@@ -507,6 +531,10 @@ def main():
         "upload_ms": round(float(upload_ms), 2),
         "device_fps": round(1e3 / max(float(device_ms), 1e-6), 1),
         "frames": n_frames,
+        # steady-state pass length (GT sequence ping-ponged to amortize
+        # pipeline fill/drain); accuracy is still scored on the n_frames
+        # first-cycle poses only
+        "tp_frames": n_tp,
         "tracked": tracked,
         "platform": jax.devices()[0].platform,
         "labels": "forest" if use_forest else "oracle",
