@@ -94,6 +94,41 @@ class Theta(NamedTuple):
     w: jnp.ndarray      # [K]
 
 
+def extrapolate(theta: Theta, theta_prev: Theta, gamma,
+                max_ang: float = 0.25, max_dp: float = 0.10) -> Theta:
+    """Constant-velocity pose prediction: advance ``theta`` by ``gamma``
+    times its one-frame velocity (finite difference vs ``theta_prev``).
+
+    Used as the fit's warm start: the LM loop terminates on a stall
+    (function tolerance + stable correspondences), so starting closer to
+    the optimum directly removes accepted re-linearization steps -- the
+    dominant per-frame device cost.  The reference starts every optimize()
+    from the raw previous pose (AvatarOptimizer.cpp:1246-1263); on fast
+    motion that start is a full frame of motion away from the optimum.
+
+    Rotation velocity is the per-joint relative rotation
+    ``R_t R_{t-1}^T`` taken to the ``gamma`` power through the so(3)
+    log/exp maps; translation is linear.  Both are clamped (``max_ang``
+    rad/joint, ``max_dp`` meters) so a jittery estimate cannot launch the
+    warm start past the data basin -- extrapolation must never be able to
+    *cause* a tracking loss, only shrink solve time.  ``gamma`` is a
+    traced scalar: 0 reproduces ``theta`` exactly (toggling does not
+    recompile)."""
+    dt = theta.p.dtype
+    g = jnp.asarray(gamma, dt)
+    dp = (theta.p - theta_prev.p) * g
+    dpn = jnp.linalg.norm(dp)
+    dp = dp * jnp.minimum(1.0, max_dp / jnp.maximum(dpn, 1e-9))
+    aa = rotation.so3_log(jnp.einsum(
+        "jab,jcb->jac", theta.rots, theta_prev.rots,
+        precision=_HI)) * g                                       # [J,3]
+    ang = jnp.linalg.norm(aa, axis=-1, keepdims=True)
+    aa = aa * jnp.minimum(1.0, max_ang / jnp.maximum(ang, 1e-9))
+    rots = jnp.einsum("jab,jbc->jac", rotation.so3_exp(aa), theta.rots,
+                      precision=_HI)
+    return Theta(p=theta.p + dp, rots=rots, w=theta.w)
+
+
 class FitDiag(NamedTuple):
     cost: jnp.ndarray        # final cost
     n_matched: jnp.ndarray   # matches in last ICP iteration

@@ -216,6 +216,19 @@ class TrackerConfig:
     # bench.  The reference's nnStep=20 uses 1/20th of vertices
     # (AvatarOptimizer.h:30-33).  1 = full accuracy (default)
     fit_vertex_stride: int = 1
+    # constant-velocity warm start (FusedTracker): start each steady-state
+    # fit from the previous pose advanced by extrapolate_pose x its
+    # one-frame velocity (clamped; optim/gauss_newton.extrapolate).  The
+    # LM loop stall-exits, so a closer start directly removes accepted
+    # re-linearization steps -- the dominant per-frame device cost.
+    # The reference warm-starts from the raw previous pose
+    # (AvatarOptimizer.cpp:1246-1263).  0 = off.
+    # Default 0.8: measured on the 40-frame TPU bench (forest labels)
+    # joint error 10.71 -> 8.86 mm and tracking vertex RMSE 15.9 ->
+    # 13.5 mm at unchanged device time -- the fit spends its stall-exit
+    # budget converging from a closer start instead of crossing the
+    # frame's motion gap.
+    extrapolate_pose: float = 0.8
 
 
 @dataclasses.dataclass

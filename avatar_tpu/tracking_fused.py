@@ -30,7 +30,7 @@ import numpy as np
 
 from avatar_tpu.core.model import Avatar, AvatarModel
 from avatar_tpu.optim.gauss_newton import FitContext, PriorData, Theta, \
-    _forward, fit, fit_refine
+    _forward, extrapolate, fit, fit_refine
 from avatar_tpu.perception import cc
 from avatar_tpu.perception.rtree import TreeTensors, suppress_part_nonmax
 from avatar_tpu.utils import StageTimer
@@ -162,7 +162,9 @@ def _fused_frame_impl(ctx: FitContext, ctx_fit: Optional[FitContext],
                       body_gate=0.0,
                       ring_faces=None,
                       refine_steps: int = 0,
-                      refine_beta=0.1) -> FrameOut:
+                      refine_beta=0.1,
+                      theta_prev: Optional[Theta] = None,
+                      extrap=0.0) -> FrameOut:
     """One tracked frame, fully on device.
 
     depth [H, W] f32 meters (or uint16 millimeters — converted here), so the
@@ -174,6 +176,14 @@ def _fused_frame_impl(ctx: FitContext, ctx_fit: Optional[FitContext],
     """
     H, W = depth.shape[:2]
     fx, fy, cx, cy = intrin4[0], intrin4[1], intrin4[2], intrin4[3]
+
+    # constant-velocity warm start (see gauss_newton.extrapolate).  The
+    # root-jump divergence detector below keeps measuring against the
+    # PREVIOUS FITTED pose (theta_in), not the prediction -- the detector
+    # guards what the fit did, not what the extrapolation guessed.
+    theta_in = theta0
+    if theta_prev is not None:
+        theta0 = extrapolate(theta0, theta_prev, extrap)
 
     def strided_xyz(d_full):
         d_s = d_full[::seg_stride, ::seg_stride]
@@ -580,7 +590,7 @@ def _fused_frame_impl(ctx: FitContext, ctx_fit: Optional[FitContext],
         # root translation this frame (meters): the host's divergence
         # detector (TrackerConfig.max_root_jump) reads it for free from
         # the one packed diag copy
-        jnp.linalg.norm(theta.p - theta0.p)[None].astype(depth_s.dtype),
+        jnp.linalg.norm(theta.p - theta_in.p)[None].astype(depth_s.dtype),
         n_fg[None].astype(depth_s.dtype),
         (diag_cells["hard_overflow"] if use_forest
          else jnp.zeros((), jnp.float32))[None].astype(depth_s.dtype)])
@@ -631,7 +641,8 @@ def fused_frames_batch(ctx, ctx_fit, tree, parents, depth_b, labels_b,
                        wild_weight: float = 1.0,
                        sel_walk: float = 0.0, body_gate=0.0,
                        ring_faces=None, refine_steps: int = 0,
-                       refine_beta=0.1):
+                       refine_beta=0.1, theta_prev0: Optional[Theta] = None,
+                       extrap=0.0):
     """Track a whole BATCH of consecutive frames in one dispatch.
 
     A lax.scan over _fused_frame_impl carrying (theta, com_pre).  On a
@@ -642,7 +653,7 @@ def fused_frames_batch(ctx, ctx_fit, tree, parents, depth_b, labels_b,
     label images are not materialized (viz uses the single-frame path).
     """
     def step(carry, inp):
-        th, com = carry
+        th, th_prev, com = carry
         d_i, l_i = inp
         out = _fused_frame_impl(
             ctx, ctx_fit, tree, parents, d_i, l_i, bg_depth, intrin4,
@@ -655,12 +666,14 @@ def fused_frames_batch(ctx, ctx_fit, tree, parents, depth_b, labels_b,
             wild_n, wild_gate, wild_weight,
             sel_walk=sel_walk, body_gate=body_gate,
             ring_faces=ring_faces, refine_steps=refine_steps,
-            refine_beta=refine_beta)
-        return (out.theta, out.com_pre), (out.theta, out.host_diag)
+            refine_beta=refine_beta, theta_prev=th_prev, extrap=extrap)
+        return ((out.theta, th, out.com_pre),
+                (out.theta, out.host_diag))
 
-    (theta_f, com_f), (thetas, diags) = jax.lax.scan(
-        step, (theta0, com_pre), (depth_b, labels_b))
-    return thetas, diags, theta_f, com_f
+    tp0 = theta0 if theta_prev0 is None else theta_prev0
+    (theta_f, theta_prev_f, com_f), (thetas, diags) = jax.lax.scan(
+        step, (theta0, tp0, com_pre), (depth_b, labels_b))
+    return thetas, diags, theta_f, com_f, theta_prev_f
 
 
 def _group_tree(t: TreeTensors, lut: np.ndarray, ng: int) -> TreeTensors:
@@ -879,6 +892,10 @@ class FusedTracker:
             rots=jnp.asarray(np.tile(np.eye(3), (model.num_joints(), 1, 1)),
                              model.dtype),
             w=jnp.zeros(model.num_shape_keys(), model.dtype))
+        # one frame behind self._theta: the constant-velocity warm start's
+        # finite-difference anchor (equal to _theta == zero velocity
+        # whenever the pose chain restarts: init, reinit, rejected frames)
+        self._theta_prev = self._theta
 
         c = self.config
         H, W = self.image_size
@@ -1005,6 +1022,7 @@ class FusedTracker:
                 wild_weight=jnp.asarray(c.wild_weight, dt),
                 body_gate=jnp.asarray(c.body_gate, dt),
                 refine_beta=jnp.asarray(c.refine_beta, dt),
+                extrap=jnp.asarray(c.extrapolate_pose, dt),
                 zero=jnp.asarray(0.0, dt))
             # per-group confidence gate: relaxed for the diffuse extremity
             # groups (see TrackerConfig.label_conf_low); group ids only
@@ -1079,7 +1097,12 @@ class FusedTracker:
                        else consts["zero"]),
             ring_faces=self._ring if refine else None,
             refine_steps=c.refine_steps if refine else 0,
-            refine_beta=consts["refine_beta"])
+            refine_beta=consts["refine_beta"],
+            # during reinit the pose chain restarted at an artificial seed;
+            # _theta IS the seed, so anchoring the velocity to itself
+            # degenerates the extrapolation to identity
+            theta_prev=self._theta if is_reinit else self._theta_prev,
+            extrap=consts["extrap"])
 
     def track(self, frame, labels_override: Optional[np.ndarray] = None):
         """Track one frame.  ``frame`` is an XYZ map [H, W, 3], a float
@@ -1111,6 +1134,7 @@ class FusedTracker:
             # planted in self._theta (consumers — and the long-eval's
             # error metric — read _theta even for ok=False frames)
             theta_keep, com_keep = self._theta, self.com_pre
+            theta_prev_keep = self._theta_prev
             # host-side reinit: recenter at the (approximate) cloud centroid
             # and run a full-image (no window) fit with extra iterations
             with self.timer.stage("reinit"):
@@ -1146,6 +1170,7 @@ class FusedTracker:
                     if not fg.any():
                         self._lost_frames += 1
                         self._theta, self.com_pre = theta_keep, com_keep
+                        self._theta_prev = theta_prev_keep
                         return TrackResult(ok=False, n_points=0)
                 centroid = (sub[fg] * np.array([1, -1, 1])).mean(axis=0) \
                     if fg.any() else np.array([0.0, 0.0, 2.5])
@@ -1193,6 +1218,7 @@ class FusedTracker:
             if n_points < min_needed:
                 self._lost_frames += 1
                 self._theta, self.com_pre = theta_keep, com_keep
+                self._theta_prev = theta_prev_keep
                 return TrackResult(ok=False, n_points=n_points)
             self.reinit = False
             self.first_init = False
@@ -1237,6 +1263,10 @@ class FusedTracker:
                 return TrackResult(ok=False, n_points=n_points)
             self._lost_count = 0
 
+        # velocity anchor: the previous fitted pose in steady state; the
+        # new pose itself right after a reinit (the chain restarted, so
+        # the finite difference across the restart is meaningless)
+        self._theta_prev = out.theta if reinitialized else self._theta
         self._theta = out.theta
         self.com_pre = out.com_pre
         self._lost_frames = 0
@@ -1305,7 +1335,8 @@ class FusedTracker:
             # (refine_every == 1) or not at all
             ring_faces=self._ring if c.refine_every == 1 else None,
             refine_steps=c.refine_steps if c.refine_every == 1 else 0,
-            refine_beta=consts["refine_beta"])
+            refine_beta=consts["refine_beta"],
+            theta_prev0=self._theta_prev, extrap=consts["extrap"])
 
     def track_batch(self, frames, labels_override=None):
         """Track a list of consecutive frames in ONE device dispatch.
@@ -1364,9 +1395,10 @@ class FusedTracker:
                  if labels_override is None
                  else jnp.asarray(np.stack(labs), jnp.uint8))
         n_steps = c.frame_icp_iters * c.iters_per_icp
-        thetas, diags, theta_f, com_f = self._run_batch(dep_b, lab_b,
-                                                        n_steps)
+        (thetas, diags, theta_f, com_f,
+         theta_prev_f) = self._run_batch(dep_b, lab_b, n_steps)
         self._theta = theta_f
+        self._theta_prev = theta_prev_f
         self.com_pre = com_f
         # start the packed device->host diagnostics copy now so resolving
         # this batch later (after the next batch is already in flight)
@@ -1477,6 +1509,7 @@ class FusedTracker:
                       np.asarray(labels_override))), jnp.uint8))
         n_steps = c.frame_icp_iters * c.iters_per_icp
         out = self._run(xyz, labels, n_steps)      # async dispatch
+        self._theta_prev = self._theta
         self._theta = out.theta                    # device-side chain
         self.com_pre = out.com_pre
 
@@ -1670,6 +1703,9 @@ class FusedTracker:
                 p=self._theta.p,
                 rots=jnp.asarray(rots, self.model.dtype),
                 w=self._theta.w)
+            # the re-aim is a host-side jump, not motion: zero the velocity
+            # so the warm start doesn't extrapolate the teleport
+            self._theta_prev = self._theta
 
     def sync_avatar(self) -> Avatar:
         """Materialize the device-side pose into self.ava (host)."""

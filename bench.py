@@ -344,7 +344,7 @@ def main():
         # timing through a remote tunnel (~1 ms/dispatch floor here)
         _xyz_b = _jn.stack([_xyz] * BATCH)
         _lab_b = _jn.stack([_lab0] * BATCH)
-        _, _dg, _thf, _ = tracker._run_batch(_xyz_b, _lab_b, _steps)
+        _, _dg, _thf, *_rest = tracker._run_batch(_xyz_b, _lab_b, _steps)
         _jx.block_until_ready(_dg)
         # dispatches queue asynchronously, so the final sync pays the
         # tunnel round trip ONCE per timed loop; amortize it over enough
@@ -358,7 +358,7 @@ def main():
         for _ in range(3):
             _t0 = time.perf_counter()
             for _ in range(_NREP):
-                _, _dg, _thf, _ = tracker._run_batch(_xyz_b, _lab_b, _steps)
+                _, _dg, _thf, *_rest = tracker._run_batch(_xyz_b, _lab_b, _steps)
             _jx.block_until_ready(_dg)
             _dms.append((time.perf_counter() - _t0) / (_NREP * BATCH) * 1e3)
             device_ms = min(device_ms, _dms[-1])

@@ -359,3 +359,53 @@ def test_wildcard_nn_matches_any_part(rng):
         model_cloud[np.maximum(ref_corr[order], 0)] - data[order]) ** 2
     ).sum(1)), -1.0)
     np.testing.assert_allclose(got_d, ref_d, atol=1e-5)
+
+
+def test_extrapolate_constant_velocity():
+    """gauss_newton.extrapolate: gamma=0 is the identity, gamma=1 advances
+    exactly one more frame of velocity, and both clamps bound the jump."""
+    from avatar_tpu.optim.gauss_newton import extrapolate
+
+    rng = np.random.default_rng(3)
+    J = 6
+    aa_prev = rng.normal(size=(J, 3)).astype(np.float32) * 0.3
+    daa = rng.normal(size=(J, 3)).astype(np.float32) * 0.05
+    R_prev = rotation.so3_exp(jnp.asarray(aa_prev))
+    # one frame of motion: R_t = exp(daa) R_{t-1}
+    R_t = jnp.einsum("jab,jbc->jac", rotation.so3_exp(jnp.asarray(daa)),
+                     R_prev)
+    th_prev = Theta(p=jnp.asarray([0.1, 0.2, 2.0], jnp.float32),
+                    rots=R_prev, w=jnp.zeros(2, jnp.float32))
+    th = Theta(p=jnp.asarray([0.13, 0.2, 2.02], jnp.float32),
+               rots=R_t, w=jnp.zeros(2, jnp.float32))
+
+    # gamma = 0: identity
+    out0 = extrapolate(th, th_prev, 0.0)
+    np.testing.assert_allclose(np.asarray(out0.p), np.asarray(th.p),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out0.rots), np.asarray(th.rots),
+                               atol=1e-6)
+
+    # gamma = 1: exp(daa) applied once more, p advanced by one more dp
+    out1 = extrapolate(th, th_prev, 1.0)
+    R_want = jnp.einsum("jab,jbc->jac",
+                        rotation.so3_exp(jnp.asarray(daa)), R_t)
+    np.testing.assert_allclose(np.asarray(out1.rots), np.asarray(R_want),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out1.p),
+                               2 * np.asarray(th.p) - np.asarray(th_prev.p),
+                               atol=1e-6)
+
+    # clamps: a huge one-frame jump cannot launch the warm start
+    th_far = Theta(p=th.p + jnp.asarray([1.0, 0.0, 0.0], jnp.float32),
+                   rots=jnp.einsum(
+                       "jab,jbc->jac",
+                       rotation.so3_exp(jnp.full((J, 3), 0.8, jnp.float32)),
+                       R_t),
+                   w=th.w)
+    outc = extrapolate(th_far, th_prev, 1.0, max_ang=0.25, max_dp=0.10)
+    dp = np.asarray(outc.p - th_far.p)
+    assert np.linalg.norm(dp) <= 0.10 + 1e-5
+    rel = rotation.so3_log(jnp.einsum(
+        "jab,jcb->jac", outc.rots, th_far.rots))
+    assert float(jnp.max(jnp.linalg.norm(rel, axis=-1))) <= 0.25 + 1e-4
