@@ -694,8 +694,32 @@ def fit_refine(ctx: FitContext, parents: Tuple[int, ...],
         n_rest = _vertex_normals(shaped0, ctx.faces)
     occ_margin = jnp.asarray(0.2, dtype)
 
-    def step(state):
-        theta, fwd, lam, it, accepted, small_cnt, _, _, corr_prev = state
+    # Part-sorted NN plan, exactly as in ``fit``: the unplanned chunked
+    # XLA search scans every model point per data tile; the planned Pallas
+    # kernel prunes to same-part chunks and stays VMEM-resident (measured
+    # ~4-6x on the seek stage — the dominant per-step cost here, since the
+    # refine has no sufficient-statistics reduction to hide behind).
+    use_plan = (correspond._pallas_enabled()
+                and data_pts.shape[0] % 256 == 0)
+    if use_plan:
+        plan = correspond.make_nn_plan(
+            data_pts, data_part, ctx.model_part,
+            num_parts=num_parts or len(parents), tile_n=256, chunk=chunk)
+        data_pts = plan.dpts
+        data_part = plan.dpart
+    N = data_pts.shape[0]
+
+    def cost_at(th, xf, tri_idx, bary, fnrm, wgt, bp, bs):
+        rr = jnp.sum(bary[..., None] * xf[tri_idx], axis=1) - data_pts
+        c_pt = 0.5 * jnp.sum(wgt * jnp.sum(rr * rr, -1))
+        c_pl = 0.5 * jnp.sum(wgt * jnp.sum(fnrm * rr, -1) ** 2)
+        return (w_pt ** 2 * c_pt + w_pl ** 2 * c_pl +
+                _prior_cost(ctx, th, bp, bs))
+
+    def linearize(theta, fwd, corr_prev):
+        """Pure function of the current iterate (cf. ``fit.linearize``):
+        on an LM-rejected step theta is unchanged, so the carried bundle
+        is reused instead of recomputed."""
         x, shaped, j_init, Rg, tg, A = fwd
         vn = jnp.einsum("pab,pb->pa", A, n_rest, precision=_HI)
         vn = vn / jnp.linalg.norm(vn, axis=-1, keepdims=True).clip(1e-12)
@@ -711,9 +735,13 @@ def fit_refine(ctx: FitContext, parents: Tuple[int, ...],
             front = None
         if ctx.cand_mask is not None:
             vis = vis & ctx.cand_mask
-        st = correspond.find_nn_stats(
-            data_pts, data_part, x, ctx.model_part, vis, chunk=chunk,
-            wild=wild, wild_gate2=wild_gate2)
+        if use_plan:
+            st = correspond.find_nn_stats_planned(
+                plan, x, vis, wild=wild, wild_gate2=wild_gate2)
+        else:
+            st = correspond.find_nn_stats(
+                data_pts, data_part, x, ctx.model_part, vis, chunk=chunk,
+                wild=wild, wild_gate2=wild_gate2)
         tri_idx, bary, fnrm, valid = surface_correspond(
             data_pts, st.corr, x, ctx.faces, ring_faces, face_front=front)
         # Robust weighting against correspondence outliers.  Even at the
@@ -736,20 +764,10 @@ def fit_refine(ctx: FitContext, parents: Tuple[int, ...],
         bp = beta_pose * scale
         bs = beta_shape * scale
 
-        def surf_pts(xf):
-            return jnp.sum(bary[..., None] * xf[tri_idx], axis=1)   # [N, 3]
-
-        def total_cost(th, xf):
-            rr = surf_pts(xf) - data_pts
-            c_pt = 0.5 * jnp.sum(wgt * jnp.sum(rr * rr, -1))
-            c_pl = 0.5 * jnp.sum(wgt * jnp.sum(fnrm * rr, -1) ** 2)
-            return (w_pt ** 2 * c_pt + w_pl ** 2 * c_pl +
-                    _prior_cost(ctx, th, bp, bs))
-
-        cost = total_cost(theta, x)
+        cost = cost_at(theta, x, tri_idx, bary, fnrm, wgt, bp, bs)
         Jm = _icp_jacobian(ctx, parents, theta, fwd)                # [P,3,D]
         Jn = jnp.sum(bary[:, :, None, None] * Jm[tri_idx], axis=1)  # [N,3,D]
-        r = surf_pts(x) - data_pts                                  # [N,3]
+        r = r_cur                                                   # [N,3]
         sw = jnp.sqrt(wgt)
         Jw = Jn * sw[:, None, None]
         rw = r * wgt[:, None]
@@ -767,6 +785,20 @@ def fit_refine(ctx: FitContext, parents: Tuple[int, ...],
         pJtJ, pJtr = _prior_terms(ctx, parents, theta, Rg, bp, bs)
         JtJ = JtJ + pJtJ
         Jtr = Jtr + pJtr
+        corr_stable = jnp.all(st.corr == corr_prev)
+        return (JtJ, Jtr, cost, n_matched, st.corr, tri_idx, bary, fnrm,
+                wgt, jnp.stack([bp, bs]), corr_stable)
+
+    def step(state):
+        theta, fwd, lam, it, accepted, small_cnt, need_lin, _, lin = state
+        lin = jax.lax.cond(
+            need_lin,
+            lambda: linearize(theta, fwd, lin[4]),
+            lambda: lin[:10] + (jnp.asarray(True),))
+        (JtJ, Jtr, cost, n_matched, corr, tri_idx, bary, fnrm, wgt, b2,
+         corr_stable) = lin
+        bp, bs = b2[0], b2[1]
+        x, shaped, j_init, Rg, tg, A = fwd
 
         d = jnp.diagonal(JtJ)
         d = jnp.maximum(d, 1e-3 * jnp.max(d))
@@ -786,7 +818,8 @@ def fit_refine(ctx: FitContext, parents: Tuple[int, ...],
         delta = -jax.scipy.linalg.cho_solve(cho, Jtr)
         trial = _retract(theta, delta, Rg, parents)
         trial_fwd = _forward(ctx, parents, trial, use_jsr)
-        trial_cost = total_cost(trial, trial_fwd[0])
+        trial_cost = cost_at(trial, trial_fwd[0], tri_idx, bary, fnrm,
+                             wgt, bp, bs)
 
         accept = trial_cost < cost
         th_new = jax.tree.map(
@@ -796,23 +829,31 @@ def fit_refine(ctx: FitContext, parents: Tuple[int, ...],
         lam_new = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-9),
                             jnp.minimum(lam * 6.0, 1e6))
         rel = jnp.abs(cost - trial_cost) / jnp.maximum(cost, 1e-20)
-        corr_stable = jnp.all(st.corr == corr_prev)
         small = (rel < function_tolerance) & corr_stable
         small_cnt_new = jnp.where(small, small_cnt + 1, 0)
         return (th_new, fwd_new, lam_new, it + 1,
                 accepted + accept.astype(jnp.int32), small_cnt_new,
-                jnp.where(accept, trial_cost, cost), n_matched, st.corr)
+                accept, jnp.where(accept, trial_cost, cost), lin)
 
     def cond(state):
         return (state[3] < n_steps) & (state[5] < 2)
 
     fwd0 = _forward(ctx, parents, theta0, use_jsr)
+    J_all = len(parents)
+    D_all = 3 + 3 * J_all + ctx.lbs.shapedirs.shape[2]
+    lin0 = (jnp.zeros((D_all, D_all), dtype), jnp.zeros(D_all, dtype),
+            jnp.asarray(jnp.inf, dtype), jnp.asarray(0.0, dtype),
+            jnp.full(N, -2, jnp.int32), jnp.zeros((N, 3), jnp.int32),
+            jnp.zeros((N, 3), dtype), jnp.zeros((N, 3), dtype),
+            jnp.zeros(N, dtype), jnp.zeros(2, dtype), jnp.asarray(False))
     init = (theta0, fwd0, jnp.asarray(1e-4, dtype),
             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-            jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, dtype),
-            jnp.asarray(0.0, dtype), jnp.full(N, -2, jnp.int32))
-    (theta, _, lam, it, accepted, _, cost, n_matched,
-     corr_final) = jax.lax.while_loop(cond, step, init)
+            jnp.asarray(0, jnp.int32), jnp.asarray(True),
+            jnp.asarray(jnp.inf, dtype), lin0)
+    (theta, _, lam, it, accepted, _, _, cost,
+     lin_f) = jax.lax.while_loop(cond, step, init)
+    n_matched = lin_f[3]
+    corr_final = lin_f[4]
     NP = num_parts or len(parents)
     matched_f = corr_final >= 0
     pidx = jnp.where(matched_f, jnp.clip(data_part, 0, NP - 1), NP)

@@ -39,7 +39,14 @@ class TrackerConfig:
     beta_shape: float = 0.12
     data_interval: int = 12       # stride for optimization samples
     rtree_interval: int = 2       # stride for forest inference
-    frame_icp_iters: int = 3
+    # steady-state LM budget = frame_icp_iters * iters_per_icp (the fused
+    # fit re-matches every step, so the reference's outer-ICP/inner-solver
+    # split collapses into one budget; gauss_newton.fit docstring).  2
+    # outer iters since the constant-velocity warm start (extrapolate_pose
+    # below): the fit starts near the optimum and stall-exits, so the
+    # third outer round bought 0.8 mm joint error for +1.6 ms device time
+    # on the 40-frame TPU bench — the wrong trade at the 120 fps target.
+    frame_icp_iters: int = 2
     reinit_icp_iters: int = 6
     initial_icp_iters: int = 7    # live-demo first init
     iters_per_icp: int = 10

@@ -51,7 +51,7 @@ def main():
                          "trip while keeping >1 batch in flight so upload "
                          "overlaps compute (dispatch latency is reported "
                          "separately as latency_ms)")
-    ap.add_argument("--tp-frames", type=int, default=160,
+    ap.add_argument("--tp-frames", type=int, default=352,
                     help="minimum frames in the steady-state throughput "
                          "pass: the GT sequence is ping-ponged (forward/"
                          "backward, motion stays continuous) until this "
@@ -200,7 +200,11 @@ def main():
     from avatar_tpu.perception.partgroups import SMPL24_GROUP_LUT
 
     cfg_kw = dict(data_interval=data_interval, min_points=min_points,
-                  frame_icp_iters=3, reinit_icp_iters=6,
+                  # 2 x 4 = 8 LM steps/frame: with the constant-velocity
+                  # warm start the fit stall-exits near the optimum; the
+                  # third outer round costs +1.6 ms device for -0.8 mm
+                  # joint error (see TrackerConfig.frame_icp_iters)
+                  frame_icp_iters=2, reinit_icp_iters=6,
                   initial_icp_iters=7, iters_per_icp=4,
                   label_conf_thresh=0.55,
                   rtree_interval=3 if not args.quick else 2,
