@@ -725,11 +725,7 @@ def fit_refine(ctx: FitContext, parents: Tuple[int, ...],
         vn = vn / jnp.linalg.norm(vn, axis=-1, keepdims=True).clip(1e-12)
         if enable_occlusion:
             vis = vn[:, 2] < occ_margin
-            fe1 = x[ctx.faces[:, 1]] - x[ctx.faces[:, 0]]
-            fe2 = x[ctx.faces[:, 2]] - x[ctx.faces[:, 0]]
-            fn_all = jnp.cross(fe1, fe2)
-            front = fn_all[:, 2] < occ_margin * jnp.linalg.norm(
-                fn_all, axis=-1).clip(1e-12)
+            front = occ_margin
         else:
             vis = jnp.ones(P, jnp.bool_)
             front = None
@@ -743,7 +739,8 @@ def fit_refine(ctx: FitContext, parents: Tuple[int, ...],
                 data_pts, data_part, x, ctx.model_part, vis, chunk=chunk,
                 wild=wild, wild_gate2=wild_gate2)
         tri_idx, bary, fnrm, valid = surface_correspond(
-            data_pts, st.corr, x, ctx.faces, ring_faces, face_front=front)
+            data_pts, st.corr, x, ctx.faces, ring_faces,
+            front_margin=front)
         # Robust weighting against correspondence outliers.  Even at the
         # true pose a few percent of matches are bad — silhouette-straddling
         # pixels, part-boundary points whose same-part NN vertex's ring
@@ -754,8 +751,20 @@ def fit_refine(ctx: FitContext, parents: Tuple[int, ...],
         # trim at trim_k * median removes it.
         r_cur = jnp.sum(bary[..., None] * x[tri_idx], axis=1) - data_pts
         dist = jnp.sqrt(jnp.sum(r_cur * r_cur, -1) + 1e-16)
-        big = jnp.where(valid, dist, jnp.nan)
-        med = jnp.nan_to_num(jnp.nanmedian(big), nan=1e-3)
+        # Robust scale WITHOUT a median: sorting 8k floats costs ~1.6 ms
+        # per LM step on v5e (the single largest refine cost, profiled in
+        # scripts/profile_refine.py) while every other stage is vector
+        # work.  A one-round trimmed mean is sort-free and serves the same
+        # role: m0 = mean |r| over matches, then the mean over |r| < 3 m0
+        # discards the outlier tail's pull.  For |r| ~ half-normal the
+        # trimmed mean sits within ~25% of the median — well inside the
+        # slack of huber_k=4 / trim_k=20.
+        vw = valid.astype(dtype)
+        nv = jnp.maximum(jnp.sum(vw), 1.0)
+        m0 = jnp.sum(dist * vw) / nv
+        keep = vw * (dist < 3.0 * m0).astype(dtype)
+        med = jnp.sum(dist * keep) / jnp.maximum(jnp.sum(keep), 1.0)
+        med = jnp.where(med > 0, med, 1e-3)
         delta_h = jnp.maximum(jnp.asarray(huber_k, dtype) * med, 2e-4)
         wgt = jnp.where(valid, jnp.minimum(1.0, delta_h / dist), 0.0)
         wgt = jnp.where(dist > jnp.asarray(trim_k, dtype) * med, 0.0, wgt)
@@ -766,22 +775,50 @@ def fit_refine(ctx: FitContext, parents: Tuple[int, ...],
 
         cost = cost_at(theta, x, tri_idx, bary, fnrm, wgt, bp, bs)
         Jm = _icp_jacobian(ctx, parents, theta, fwd)                # [P,3,D]
-        Jn = jnp.sum(bary[:, :, None, None] * Jm[tri_idx], axis=1)  # [N,3,D]
         r = r_cur                                                   # [N,3]
-        sw = jnp.sqrt(wgt)
-        Jw = Jn * sw[:, None, None]
-        rw = r * wgt[:, None]
-        JtJ = w_pt ** 2 * jax.lax.dot_general(
-            Jw, Jw, (((0, 1), (0, 1)), ((), ())), precision=_HI)
-        Jtr = w_pt ** 2 * jax.lax.dot_general(
-            Jn, rw, (((0, 1), (0, 1)), ((), ())), precision=_HI)
-        Jpl = jnp.einsum("nc,ncd->nd", fnrm, Jn, precision=_HI)     # [N,D]
-        rpl = jnp.sum(fnrm * r, -1)
-        JtJ = JtJ + w_pl ** 2 * jax.lax.dot_general(
-            Jpl * sw[:, None], Jpl * sw[:, None],
-            (((0,), (0,)), ((), ())), precision=_HI)
-        Jtr = Jtr + w_pl ** 2 * jax.lax.dot_general(
-            Jpl, rpl * wgt, (((0,), (0,)), ((), ())), precision=_HI)
+        rpl = jnp.sum(fnrm * r, -1)                                 # [N]
+
+        # Normal equations WITHOUT the data axis (cf. the main fit's
+        # sufficient statistics).  The naive per-datum form materializes
+        # J_n = sum_i b_ni Jm[v_ni] as an [N,3,3,D] gather (~25 MB of
+        # fine-grained random access per LM step — measured ~3.5 ms/step
+        # on v5e, 8x the whole main-fit step).  Instead:
+        #   gradient (EXACT):  J^T r = sum_p Jm[p]^T G[p],
+        #       G[p] = sum_n w_n b_np (wpt^2 r_n + wpl^2 n_f rpl_n)
+        #   gram (mass-lumped): J^T J ~= sum_p Jm[p]^T W_p Jm[p],
+        #       W_p = wpt^2 m_p I + wpl^2 sum_n w_n b_np n_f n_f^T
+        # The lumping drops intra-face cross terms (i != j) of the exact
+        # gram — a classic FEM mass-lumping.  Any positive-definite gram
+        # still yields a descent direction, and LM's accept/reject keeps
+        # the cost monotone, so the CONVERGED optimum (gradient = 0, which
+        # uses the exact G) is unchanged; only the step shape differs.
+        # All per-datum work reduces to ONE fused [3N,13] scatter-add.
+        nn6 = jnp.stack([fnrm[:, 0] * fnrm[:, 0], fnrm[:, 1] * fnrm[:, 1],
+                         fnrm[:, 2] * fnrm[:, 2], fnrm[:, 0] * fnrm[:, 1],
+                         fnrm[:, 0] * fnrm[:, 2], fnrm[:, 1] * fnrm[:, 2]],
+                        axis=-1)                                    # [N,6]
+        payload = jnp.concatenate(
+            [jnp.ones_like(wgt)[:, None], r, fnrm * rpl[:, None], nn6],
+            axis=-1)                                                # [N,13]
+        bw = (bary * wgt[:, None]).reshape(-1)                      # [3N]
+        idxf = tri_idx.reshape(-1)                                  # [3N]
+        acc = jnp.zeros((P, 13), dtype).at[idxf].add(
+            bw[:, None] * jnp.repeat(payload, 3, axis=0),
+            mode="drop")                                            # [P,13]
+        m_pt = acc[:, 0]
+        G = w_pt ** 2 * acc[:, 1:4] + w_pl ** 2 * acc[:, 4:7]       # [P,3]
+        a_, b_, c_, d_, e_, f_ = (acc[:, 7], acc[:, 8], acc[:, 9],
+                                  acc[:, 10], acc[:, 11], acc[:, 12])
+        Npp = jnp.stack([a_, d_, e_, d_, b_, f_, e_, f_, c_],
+                        axis=-1).reshape(-1, 3, 3)                  # [P,3,3]
+        eye3 = jnp.eye(3, dtype=dtype)
+        W_p = (w_pt ** 2 * m_pt[:, None, None] * eye3 +
+               w_pl ** 2 * Npp)                                     # [P,3,3]
+        JmW = jnp.einsum("pab,pbd->pad", W_p, Jm, precision=_HI)    # [P,3,D]
+        JtJ = jax.lax.dot_general(
+            Jm, JmW, (((0, 1), (0, 1)), ((), ())), precision=_HI)
+        Jtr = jax.lax.dot_general(
+            Jm, G, (((0, 1), (0, 1)), ((), ())), precision=_HI)
         pJtJ, pJtr = _prior_terms(ctx, parents, theta, Rg, bp, bs)
         JtJ = JtJ + pJtJ
         Jtr = Jtr + pJtr

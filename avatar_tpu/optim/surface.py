@@ -114,7 +114,7 @@ def closest_point_triangle(p: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
 def surface_correspond(data_pts: jnp.ndarray, corr_vertex: jnp.ndarray,
                        x: jnp.ndarray, faces: jnp.ndarray,
                        ring_faces: jnp.ndarray,
-                       face_front: jnp.ndarray | None = None):
+                       front_margin: jnp.ndarray | float | None = None):
     """Refine a vertex NN into the closest point on its one-ring surface.
 
     Args:
@@ -123,30 +123,47 @@ def surface_correspond(data_pts: jnp.ndarray, corr_vertex: jnp.ndarray,
       x:           [P, 3] posed model vertices.
       faces:       [F, 3] int32 triangles.
       ring_faces:  [P, R] int32 one-ring face ids (-1 padded).
-      face_front:  optional [F] bool — candidate faces must be front-facing
-                   (data comes from a depth camera; on thin parts the ring
-                   of a silhouette vertex contains back faces whose plane
-                   would otherwise capture the match).
+      front_margin: if set, candidate faces must be front-facing —
+                   normal z < margin * |normal| (data comes from a depth
+                   camera; on thin parts the ring of a silhouette vertex
+                   contains back faces whose plane would otherwise capture
+                   the match).  Frontness is computed HERE from the
+                   already-gathered corners: gathering a precomputed [F]
+                   bool mask per candidate costs ~0.8 ms/step on v5e (a
+                   98k-element gather against bit-packed pred tiling,
+                   profiled in scripts/trace_refine_ops.py) while the
+                   cross product on gathered corners is pure vector work.
 
     Returns (tri_idx [N, 3] int32 vertex ids, bary [N, 3], normal [N, 3]
     unit face normal, valid [N] bool).  Unmatched rows collapse onto
     vertex 0 with zero weight — callers mask by ``valid``.
+
+    Gather layout: per-face corner coordinates are packed once per call
+    into [F, 9] rows so the per-candidate lookup is a SINGLE gather with
+    36-byte rows ([N, R] candidates) — three separate x[faces[rfc][...,k]]
+    gathers move the same volume in 12-byte rows plus an int [N, R, 3]
+    face-vertex gather, ~4x the measured gather time on v5e.
     """
     cid = jnp.maximum(corr_vertex, 0)
     rf = ring_faces[cid]                                   # [N, R]
     has = rf >= 0
     rfc = jnp.maximum(rf, 0)
-    tv = faces[rfc]                                        # [N, R, 3]
-    a = x[tv[..., 0]]
-    b = x[tv[..., 1]]
-    c = x[tv[..., 2]]
+    xf9 = jnp.concatenate(
+        [x[faces[:, 0]], x[faces[:, 1]], x[faces[:, 2]]], axis=1)  # [F, 9]
+    tri9 = xf9[rfc]                                        # [N, R, 9]
+    a = tri9[..., 0:3]
+    b = tri9[..., 3:6]
+    c = tri9[..., 6:9]
     bary, d2 = closest_point_triangle(data_pts[:, None, :], a, b, c)
-    if face_front is not None:
-        has = has & face_front[rfc]
+    if front_margin is not None:
+        fn_all = jnp.cross(b - a, c - a)                   # [N, R, 3]
+        has = has & (fn_all[..., 2] < front_margin * jnp.linalg.norm(
+            fn_all, axis=-1).clip(1e-12))
     d2 = jnp.where(has, d2, jnp.float32(3e38))
     best = jnp.argmin(d2, axis=1)                          # [N]
     n_ = jnp.arange(data_pts.shape[0])
-    tri_idx = tv[n_, best]                                 # [N, 3]
+    best_face = rfc[n_, best]                              # [N]
+    tri_idx = faces[best_face]                             # [N, 3]
     bary_b = bary[n_, best]                                # [N, 3]
     fn = jnp.cross(b[n_, best] - a[n_, best], c[n_, best] - a[n_, best])
     fn = fn / jnp.linalg.norm(fn, axis=-1, keepdims=True).clip(1e-12)

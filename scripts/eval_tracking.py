@@ -118,7 +118,7 @@ def run_long(args):
         for t in trees:
             t.partmap_type = 0
         tree = trees if len(trees) > 1 else trees[0]
-    cfg_kw = dict(data_interval=6, min_points=1000, frame_icp_iters=3,
+    cfg_kw = dict(data_interval=6, min_points=1000, frame_icp_iters=2,
                   reinit_icp_iters=6, initial_icp_iters=7, iters_per_icp=4,
                   label_conf_thresh=0.55, rtree_interval=3,
                   part_groups=None if args.no_part_groups
@@ -273,7 +273,7 @@ def main():
         for t in trees:
             t.partmap_type = 0
         tree = trees if len(trees) > 1 else trees[0]
-    cfg_kw = dict(data_interval=6, min_points=1000, frame_icp_iters=3,
+    cfg_kw = dict(data_interval=6, min_points=1000, frame_icp_iters=2,
                   reinit_icp_iters=6, initial_icp_iters=7, iters_per_icp=4,
                   label_conf_thresh=0.55, rtree_interval=3,
                   part_groups=None if args.no_part_groups
