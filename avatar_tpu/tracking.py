@@ -94,6 +94,12 @@ class TrackerConfig:
     # vertex-spacing bias on the PRODUCT path (the BASELINE "<1 mm" bar is
     # a property of the fit the system ships, not an offline probe).
     # 0 disables.
+    # ACCURACY MODE: refine_every=1, refine_steps=2 measured on the
+    # 40-frame TPU bench at 79 fps / 6.96 mm joint / 12.4 mm vertex RMSE
+    # (vs the 123 fps / 10.6 mm speed default; data/bench_x_ref2_fast.json)
+    # — each refine step costs ~1.9 ms on v5e after the round-5 gather
+    # restructure.  Refine does NOT substitute for main-fit budget:
+    # 4 main + 2 refine steps degrades to 8.6 mm (bench_x_ref2_icp1.json).
     refine_every: int = 0
     refine_steps: int = 4
     refine_beta: float = 0.1
