@@ -338,3 +338,40 @@ def test_reweight_tree_rebalances_rare_classes():
     assert best[2] == 0
     np.testing.assert_allclose(np.asarray(rw.leaf_conf),
                                g.max(1), atol=1e-6)
+
+
+def test_velocity_anchor_state_machine(sequence):
+    """The constant-velocity warm start's finite-difference anchor
+    (_theta_prev) must trail _theta by exactly one accepted frame in
+    steady state and collapse to zero velocity at every pose-chain
+    restart (init, reinit) — extrapolating across a restart would launch
+    the fit from a meaningless finite difference."""
+    model, frames = sequence
+    cfg = TrackerConfig(data_interval=4, min_points=200, iters_per_icp=4,
+                        extrapolate_pose=0.8)
+    tracker = FusedTracker(model, INTRIN, (H, W), config=cfg)
+
+    depth, mask, _ = frames[0]
+    res = tracker.track(depth, labels_override=mask)
+    assert res.ok and res.reinitialized
+    # after a (re)init the velocity is zero: anchor == pose
+    np.testing.assert_array_equal(np.asarray(tracker._theta_prev.p),
+                                  np.asarray(tracker._theta.p))
+
+    th0 = tracker._theta
+    depth1, mask1, _ = frames[1]
+    assert tracker.track(depth1, labels_override=mask1).ok
+    # steady state: anchor is the PREVIOUS fitted pose
+    np.testing.assert_array_equal(np.asarray(tracker._theta_prev.p),
+                                  np.asarray(th0.p))
+    assert not np.array_equal(np.asarray(tracker._theta.p),
+                              np.asarray(th0.p))
+
+    # a lost frame (empty depth -> too few points) must not advance the
+    # anchor chain
+    th_keep, prev_keep = tracker._theta, tracker._theta_prev
+    res = tracker.track(np.zeros((H, W), np.float32),
+                        labels_override=np.full((H, W), 255, np.uint8))
+    assert not res.ok
+    assert tracker._theta is th_keep
+    assert tracker._theta_prev is prev_keep
