@@ -103,6 +103,16 @@ class TrackerConfig:
     refine_every: int = 0
     refine_steps: int = 4
     refine_beta: float = 0.1
+    # One-shot shape refit (FusedTracker): shape keys are fit only on
+    # (re)init frames and frozen in steady state, so a poor reinit-frame
+    # shape estimate (coupled to the cold-seed pose it was fit with) is
+    # locked in for the whole sequence.  shape_refit_after > 0 runs ONE
+    # steady-state frame with shape keys unfrozen this many frames after
+    # each successful (re)init — by then the pose has locked in, so the
+    # shape solve is clean.  Costs one synchronous frame per (re)init
+    # (batch/async paths route that single frame through the sync path)
+    # plus one extra compiled program variant.  0 = off.
+    shape_refit_after: int = 0
     nn_dist_thresh_rel: float = 0.005
     neighb_thresh_rel: float = 0.005
     bgsub_stride: int = 2         # subtraction grid stride (downstream

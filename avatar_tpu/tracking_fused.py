@@ -879,6 +879,10 @@ class FusedTracker:
         self._lost_frames = 0     # frames since tracking was lost
         self._last_root_z = None  # last-known body camera depth (m)
         self._frame_no = 0        # steady-state frame counter (refine cadence)
+        # countdown to the one-shot post-reinit shape refit (None = no
+        # refit pending; armed on every successful (re)init when
+        # config.shape_refit_after > 0)
+        self._shape_refit_in: Optional[int] = None
         if self.config.refine_every > 0:
             from avatar_tpu.optim.surface import vertex_face_rings
 
@@ -1037,7 +1041,7 @@ class FusedTracker:
 
     def _run(self, xyz, labels, n_steps, use_window=True,
              render_labels=True, is_reinit=False, reinit_gated=False,
-             refine=False):
+             refine=False, fit_shape=False):
         c = self.config
         hs = self._host_stride
         window = None
@@ -1082,8 +1086,9 @@ class FusedTracker:
             boost_n=boost_n,
             boost_groups=tuple(c.extremity_boost_groups),
             # steady-state frames solve in the reduced [dp | dr] tangent;
-            # shape keys are fit during (re)init frames only
-            freeze_shape=not is_reinit,
+            # shape keys are fit during (re)init frames and the one-shot
+            # post-reinit refit frame (config.shape_refit_after) only
+            freeze_shape=not (is_reinit or fit_shape),
             fit_sorted=self._fit_sorted,
             wild_n=wild_n, wild_gate=consts["wild_gate"],
             wild_weight=consts["wild_weight"],
@@ -1223,13 +1228,17 @@ class FusedTracker:
             self.reinit = False
             self.first_init = False
             reinitialized = True
+            self._shape_refit_in = (c.shape_refit_after
+                                    if c.shape_refit_after > 0 else None)
         else:
             n_steps = c.frame_icp_iters * c.iters_per_icp
             self._frame_no += 1
             refine = (c.refine_every > 0 and
                       self._frame_no % c.refine_every == 0)
+            fit_shape = self._shape_refit_due()
             with self.timer.stage("frame"):
-                out = self._run(xyz, labels, n_steps, refine=refine)
+                out = self._run(xyz, labels, n_steps, refine=refine,
+                                fit_shape=fit_shape)
                 diag = unpack_diag(out.host_diag, self.num_parts)
                 n_points = diag.n_points
             if (n_points < min_needed and
@@ -1263,6 +1272,13 @@ class FusedTracker:
                 return TrackResult(ok=False, n_points=n_points)
             self._lost_count = 0
 
+        if not reinitialized:
+            # post-reinit shape-refit countdown: the refit frame clears it,
+            # ordinary accepted frames count it down
+            if fit_shape:
+                self._shape_refit_in = None
+            elif self._shape_refit_in is not None:
+                self._shape_refit_in -= 1
         # velocity anchor: the previous fitted pose in steady state; the
         # new pose itself right after a reinit (the chain restarted, so
         # the finite difference across the restart is meaningless)
@@ -1282,6 +1298,12 @@ class FusedTracker:
                           fit_info=self._fit_info(diag))
         self._log_metrics(res)
         return res
+
+    def _shape_refit_due(self) -> bool:
+        """True when the one-shot post-reinit shape refit should run on
+        the next steady-state frame (see TrackerConfig.shape_refit_after)."""
+        return (self._shape_refit_in is not None and
+                self._shape_refit_in <= 0)
 
     def _run_batch(self, xyz_b, labels_b, n_steps):
         """Dispatch a whole frame batch (see fused_frames_batch)."""
@@ -1356,12 +1378,24 @@ class FusedTracker:
         """
         if not frames:
             return []
-        if self.reinit:
+        if self.reinit or self._shape_refit_due():
+            # reinit and the one-shot shape refit both need the sync path
+            # (freeze_shape is static inside the batch scan program)
             head = self.track(frames[0], labels_override[0]
                               if labels_override is not None else None)
+            head_theta = self._theta
             rest = self.track_batch(
                 frames[1:], labels_override[1:]
                 if labels_override is not None else None)
+            # keep batch_thetas aligned with the returned results: the
+            # sync head frame's pose leads the recursive batch's stack
+            if rest:
+                self.batch_thetas = jax.tree.map(
+                    lambda h, b: jnp.concatenate([h[None], b]),
+                    head_theta, self.batch_thetas)
+            else:
+                self.batch_thetas = jax.tree.map(lambda h: h[None],
+                                                 head_theta)
             return [head] + rest
         pending = self._batch_dispatch(frames, labels_override)
         results, self.batch_thetas = self._batch_resolve(pending)
@@ -1395,6 +1429,10 @@ class FusedTracker:
                  if labels_override is None
                  else jnp.asarray(np.stack(labs), jnp.uint8))
         n_steps = c.frame_icp_iters * c.iters_per_icp
+        if self._shape_refit_in is not None:
+            # batch frames all run shape-frozen; an expiring countdown is
+            # picked up at the next batch boundary (track_batch head split)
+            self._shape_refit_in -= len(frames)
         (thetas, diags, theta_f, com_f,
          theta_prev_f) = self._run_batch(dep_b, lab_b, n_steps)
         self._theta = theta_f
@@ -1460,8 +1498,9 @@ class FusedTracker:
         if q is None:
             q = self._batch_q = []
         resolved = []
-        if self.reinit:
-            # drain the pipeline, then run the reinit path synchronously
+        if self.reinit or self._shape_refit_due():
+            # drain the pipeline, then run the reinit (or one-shot shape
+            # refit head frame) path synchronously
             resolved.extend(self.flush_batches())
             res = self.track_batch(frames, labels_override)
             resolved.append((res, self.batch_thetas))
@@ -1508,7 +1547,13 @@ class FusedTracker:
                   else jnp.asarray(self._map_labels(self._pre_stride(
                       np.asarray(labels_override))), jnp.uint8))
         n_steps = c.frame_icp_iters * c.iters_per_icp
-        out = self._run(xyz, labels, n_steps)      # async dispatch
+        fit_shape = self._shape_refit_due()
+        if fit_shape:
+            self._shape_refit_in = None
+        elif self._shape_refit_in is not None:
+            self._shape_refit_in -= 1
+        out = self._run(xyz, labels, n_steps,      # async dispatch
+                        fit_shape=fit_shape)
         self._theta_prev = self._theta
         self._theta = out.theta                    # device-side chain
         self.com_pre = out.com_pre

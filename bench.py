@@ -516,6 +516,32 @@ def main():
     # which carries its own error against GT)
     vertex_rmse_mm = float(np.mean(vrms[1:]) * 1e3) if len(vrms) > 1 else -1.0
 
+    # decomposition: tracking vertex RMSE with the GT shape substituted for
+    # the tracked one isolates how much of the error is the frozen
+    # reinit-frame shape estimate (shape keys are only fit on reinit frames,
+    # tracking_fused.py freeze_shape=not is_reinit) vs per-frame pose error
+    _gw = _jnp.asarray(gt_theta0[0], _jnp.float32)
+    vrms_gtw = []
+    for i, th in enumerate(thetas[:n_frames]):
+        verts, _, _, _ = _lbs(model.params, model.parents, _gw, th.p, th.rots)
+        vrms_gtw.append(np.sqrt(np.mean(np.sum(
+            (np.asarray(verts) - gt_verts[i]) ** 2, axis=1))))
+    vertex_rmse_gtshape_mm = (float(np.mean(vrms_gtw[1:]) * 1e3)
+                              if len(vrms_gtw) > 1 else -1.0)
+    # shape-only contribution: shaped rest cloud, tracked w vs GT w
+    _zp = _jnp.zeros(3, _jnp.float32)
+    _zr = _jnp.tile(_jnp.eye(3, dtype=_jnp.float32),
+                    (model.num_joints(), 1, 1))
+    _rest_trk, _, _, _ = _lbs(model.params, model.parents,
+                              thetas[min(1, len(thetas) - 1)].w, _zp, _zr)
+    _rest_gt, _, _, _ = _lbs(model.params, model.parents, _gw, _zp, _zr)
+    shape_rest_rmse_mm = float(np.sqrt(np.mean(np.sum(
+        (np.asarray(_rest_trk) - np.asarray(_rest_gt)) ** 2, axis=1))) * 1e3)
+    print(f"[bench] vertex RMSE decomposition: tracked-shape "
+          f"{vertex_rmse_mm:.2f} mm, GT-shape {vertex_rmse_gtshape_mm:.2f} "
+          f"mm, rest-shape delta {shape_rest_rmse_mm:.2f} mm",
+          file=sys.stderr)
+
     result = {
         "metric": "end_to_end_fps",
         "value": round(float(fps), 2),
@@ -526,6 +552,10 @@ def main():
         "frame_ms": round(float(frame_ms.mean()), 3) if len(frame_ms) else 0,
         "joint_err_mm": round(joint_err_mm, 2),
         "vertex_rmse_mm": round(vertex_rmse_mm, 2),
+        # error decomposition (see computation above): tracking vertex RMSE
+        # with the GT shape substituted, and the rest-pose shape delta
+        "vertex_rmse_gtshape_mm": round(vertex_rmse_gtshape_mm, 2),
+        "shape_rest_rmse_mm": round(shape_rest_rmse_mm, 2),
         "fit_rmse_mm": round(fit_rmse_mm, 2),
         "device_ms": round(float(device_ms), 2),
         # min over 3 timing loops (the headline; the remote tunnel imposes

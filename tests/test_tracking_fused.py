@@ -375,3 +375,67 @@ def test_velocity_anchor_state_machine(sequence):
     assert not res.ok
     assert tracker._theta is th_keep
     assert tracker._theta_prev is prev_keep
+
+
+def test_shape_refit_state_machine(sequence):
+    """One-shot post-reinit shape refit (TrackerConfig.shape_refit_after):
+    shape keys are frozen on ordinary steady-state frames, unfrozen on
+    exactly ONE frame shape_refit_after frames after a successful
+    (re)init, then frozen again.  The batch path must route the due frame
+    through the sync path (freeze_shape is static inside the batch scan)
+    and keep batch_thetas aligned with the returned results."""
+    model, frames = sequence
+    cfg = TrackerConfig(data_interval=4, min_points=200, iters_per_icp=4,
+                        shape_refit_after=2)
+    tracker = FusedTracker(model, INTRIN, (H, W), config=cfg)
+
+    depth0, mask0, _ = frames[0]
+    res = tracker.track(depth0, labels_override=mask0)
+    assert res.ok and res.reinitialized
+    assert tracker._shape_refit_in == 2          # armed by the reinit
+    w_init = np.asarray(tracker._theta.w).copy()
+
+    # two ordinary steady frames count it down; shape stays frozen
+    for i in (1, 2):
+        d, m, _ = frames[i]
+        assert tracker.track(d, labels_override=m).ok
+        np.testing.assert_array_equal(np.asarray(tracker._theta.w), w_init)
+    assert tracker._shape_refit_in == 0
+    assert tracker._shape_refit_due()
+
+    # the due frame runs with shape unfrozen exactly once
+    d, m, _ = frames[3]
+    assert tracker.track(d, labels_override=m).ok
+    assert tracker._shape_refit_in is None
+    assert not tracker._shape_refit_due()
+    w_refit = np.asarray(tracker._theta.w)
+    assert not np.array_equal(w_refit, w_init), "refit did not move shape"
+
+    # subsequent steady frames freeze the refit shape
+    d, m, _ = frames[4]
+    assert tracker.track(d, labels_override=m).ok
+    np.testing.assert_array_equal(np.asarray(tracker._theta.w), w_refit)
+
+
+def test_shape_refit_batch_split(sequence):
+    """track_batch with an expired shape-refit countdown must run the head
+    frame synchronously and still return one theta per result."""
+    import jax as _jax
+
+    model, frames = sequence
+    cfg = TrackerConfig(data_interval=4, min_points=200, iters_per_icp=4,
+                        shape_refit_after=1)
+    tracker = FusedTracker(model, INTRIN, (H, W), config=cfg)
+    d0, m0, _ = frames[0]
+    assert tracker.track(d0, labels_override=m0).ok   # reinit, arms refit
+    d1, m1, _ = frames[1]
+    assert tracker.track(d1, labels_override=m1).ok   # countdown 1 -> 0
+    assert tracker._shape_refit_due()
+
+    batch = [frames[i][0] for i in (2, 3, 4)]
+    labs = [frames[i][1] for i in (2, 3, 4)]
+    res = tracker.track_batch(batch, labels_override=labs)
+    assert len(res) == 3 and all(r.ok for r in res)
+    assert tracker._shape_refit_in is None            # consumed by the head
+    nb = _jax.tree.leaves(tracker.batch_thetas)[0].shape[0]
+    assert nb == 3, f"batch_thetas misaligned: {nb} thetas for 3 results"
