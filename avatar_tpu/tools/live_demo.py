@@ -184,6 +184,7 @@ def main(argv=None, key_source=None, on_frame=None):
     n = 0
     last_id = -1
     oracle = None
+    warmed = not args.fused        # only FusedTracker exposes warmup()
     try:
         while not state.quit:
             frame, fid = cam.get_frame()
@@ -214,6 +215,13 @@ def main(argv=None, key_source=None, on_frame=None):
 
                 rend = AvatarRenderer(cam.gt, intrin)
                 oracle = rend.render_part_mask((H, W))
+            if not warmed:
+                # compile every program variant (reinit / steady / refine /
+                # shape refit) on the first live frame, so no later frame —
+                # in particular the first post-reinit shape refit, a
+                # multi-second first-use jit — stalls the real-time loop
+                tracker.warmup(xyz, labels_override=oracle)
+                warmed = True
             res = tracker.track(xyz, labels_override=oracle)
             status = ("ok" if res.ok else "lost")
             if on_frame is not None:

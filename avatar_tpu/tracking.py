@@ -100,6 +100,12 @@ class TrackerConfig:
     # — each refine step costs ~1.9 ms on v5e after the round-5 gather
     # restructure.  Refine does NOT substitute for main-fit budget:
     # 4 main + 2 refine steps degrades to 8.6 mm (bench_x_ref2_icp1.json).
+    # Sparse refine is NOT a useful middle point either: refine_every=2,
+    # refine_steps=1 measured 111 fps / 10.14 mm joint / 15.54 mm vertex
+    # (data/bench_r5_ref2s1.json) — worse on both axes than the default
+    # with the one-shot shape refit (124 fps / 10.05 mm / 15.37 mm); a
+    # single refine step doesn't reach the surface-bias floor, so pay for
+    # 2+ steps every frame (accuracy mode) or skip refine entirely.
     refine_every: int = 0
     refine_steps: int = 4
     refine_beta: float = 0.1
@@ -112,7 +118,12 @@ class TrackerConfig:
     # shape solve is clean.  Costs one synchronous frame per (re)init
     # (batch/async paths route that single frame through the sync path)
     # plus one extra compiled program variant.  0 = off.
-    shape_refit_after: int = 0
+    # Measured on the 40-frame TPU forest bench (data/bench_r5_shaperefit
+    # .json vs data/bench_r5_defaults_rerun.json, same run conditions):
+    # joint 10.62 -> 10.05 mm, vertex RMSE 15.60 -> 15.37 mm, rest-shape
+    # delta 8.40 -> 7.45 mm at unchanged steady-state fps (123.9 e2e) —
+    # on by default.
+    shape_refit_after: int = 12
     nn_dist_thresh_rel: float = 0.005
     neighb_thresh_rel: float = 0.005
     bgsub_stride: int = 2         # subtraction grid stride (downstream

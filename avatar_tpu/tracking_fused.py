@@ -1109,6 +1109,55 @@ class FusedTracker:
             theta_prev=self._theta if is_reinit else self._theta_prev,
             extrap=consts["extrap"])
 
+    # the small per-frame tracking state warmup() must leave untouched
+    _WARM_STATE = ("_theta", "_theta_prev", "com_pre", "reinit",
+                   "_frame_no", "_lost_count", "_lost_frames",
+                   "_shape_refit_in", "_last_root_z", "_starve",
+                   "_metrics_file", "_metrics_frame")
+
+    def warmup(self, frame, labels_override=None, batch: int = 0) -> None:
+        """Pre-compile every XLA program variant the tracking loop can
+        dispatch — reinit, steady-state, periodic surface refine
+        (config.refine_every), the one-shot post-reinit shape refit
+        (config.shape_refit_after), and optionally the batch program —
+        so no deployment frame pays a mid-stream jit compile (the
+        shape-refit variant alone is a multi-second first-use compile; a
+        real-time loop cannot absorb that at its first reinit).  Runs the
+        real tracker on ``frame`` and then restores the per-frame tracking
+        state, so warmup is invisible to the state machine and to the
+        metrics log.  ``batch`` > 0 additionally compiles the
+        batch-dispatch program at that batch size (batch programs are
+        shape-specialized per batch size).  Call after set_background().
+        """
+        import copy as _copy
+        c = self.config
+        snap = {k: _copy.copy(getattr(self, k, None))
+                for k in self._WARM_STATE}
+        self._metrics_file = None        # keep warmup out of the log
+        try:
+            self.reinit = True
+            self.track(frame, labels_override)        # reinit variant
+            self.reinit = False
+            self._shape_refit_in = None
+            self._frame_no = 1 if c.refine_every > 1 else 0
+            self.track(frame, labels_override)        # steady-state
+            if c.shape_refit_after > 0:
+                self._shape_refit_in = 0
+                self._frame_no = 1 if c.refine_every > 1 else 0
+                self.track(frame, labels_override)    # shape-refit
+                self._shape_refit_in = None
+            if c.refine_every > 0:
+                self._frame_no = c.refine_every - 1
+                self.track(frame, labels_override)    # periodic refine
+            if batch > 0:
+                self.track_batch(
+                    [frame] * batch,
+                    None if labels_override is None
+                    else [labels_override] * batch)
+        finally:
+            for k, v in snap.items():
+                setattr(self, k, v)
+
     def track(self, frame, labels_override: Optional[np.ndarray] = None):
         """Track one frame.  ``frame`` is an XYZ map [H, W, 3], a float
         depth map [H, W] in meters, or a uint16 depth map in millimeters

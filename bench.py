@@ -221,21 +221,21 @@ def main():
     tracker = FusedTracker(model, intrin, (H, W), rtree=forest, config=cfg)
     tracker.set_background(bg_depth)
 
-    # warmup (compile the reinit, steady-state, and batch variants)
+    # warmup: compile EVERY dispatchable program variant up front (reinit,
+    # steady, refine, shape refit, batch) so the latency loop below and the
+    # throughput pass measure steady-state execution, not first-use jits
     BATCH = max(1, args.batch)
     use_batch = not args.no_batch
-    for i in range(min(3, n_frames)):
+    scene0, mask0 = frames[0]
+    tracker.warmup(scene0, labels_override=None if use_forest else mask0,
+                   batch=BATCH if use_batch else 0)
+    # prime the tracker state machine on real frames (async plumbing incl.)
+    tracker.track(scene0, labels_override=None if use_forest else mask0)
+    for i in range(1, min(3, n_frames)):
         scene, mask = frames[i]
-        if i == 0:
-            tracker.track(scene, labels_override=None if use_forest else mask)
-        else:
-            tracker.track_async(scene,
-                                labels_override=None if use_forest else mask)
+        tracker.track_async(scene,
+                            labels_override=None if use_forest else mask)
     tracker.flush()
-    if use_batch:
-        tracker.track_batch(
-            [s for s, m in frames[:BATCH]],
-            None if use_forest else [m for s, m in frames[:BATCH]])
 
     # latency: synchronous per-frame wall time
     lat = []

@@ -439,3 +439,40 @@ def test_shape_refit_batch_split(sequence):
     assert tracker._shape_refit_in is None            # consumed by the head
     nb = _jax.tree.leaves(tracker.batch_thetas)[0].shape[0]
     assert nb == 3, f"batch_thetas misaligned: {nb} thetas for 3 results"
+
+
+def test_warmup_compiles_variants_and_restores_state(sequence):
+    """warmup() pre-compiles the reinit / steady / refine / shape-refit
+    variants by running the REAL tracker, then restores every piece of
+    per-frame tracking state — so a deployment loop can warm all jits
+    before its first real frame without perturbing the state machine."""
+    model, frames = sequence
+    cfg = TrackerConfig(data_interval=4, min_points=200, iters_per_icp=4,
+                        refine_every=2, refine_steps=1,
+                        shape_refit_after=3)
+    tracker = FusedTracker(model, INTRIN, (H, W), config=cfg)
+    depth, mask, _ = frames[0]
+
+    # cold state before warmup
+    pre = {k: getattr(tracker, k, None) for k in tracker._WARM_STATE}
+    tracker.warmup(depth, labels_override=mask)
+    post = {k: getattr(tracker, k, None) for k in tracker._WARM_STATE}
+    for k in tracker._WARM_STATE:
+        a, b = pre[k], post[k]
+        if hasattr(a, "aa"):        # Theta pytree
+            np.testing.assert_allclose(np.asarray(a.aa), np.asarray(b.aa),
+                                       err_msg=k)
+        elif hasattr(a, "shape"):   # numpy / jax array
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=k)
+        else:
+            assert a == b, f"{k}: {a!r} != {b!r}"
+    assert tracker.reinit            # still cold: first real frame reinits
+
+    # the warmed tracker behaves identically from frame 0
+    res = tracker.track(depth, labels_override=mask)
+    assert res.ok and res.reinitialized
+    res = tracker.track(frames[1][0], labels_override=frames[1][1])
+    assert res.ok and not res.reinitialized
+    # shape-refit countdown armed by the real reinit, not consumed by warmup
+    assert tracker._shape_refit_in == 2
